@@ -1,0 +1,109 @@
+"""Arrow-batched main-content extraction over a transcripts DataFrame.
+
+The Spark operator required by the north_star: "batched Arrow/pandas UDFs
+that tokenize and tree-build whole columns of turn payloads per partition (no
+per-row Python)". One ``mapInPandas`` stage; each Arrow batch crosses the
+JVM/Python boundary once and the engine parses each payload in-process.
+
+Scale design (SURVEY.md §2-F / §4):
+
+* salted repartition on ``conv_id`` defuses long-conversation skew — safe
+  because extraction is per-turn independent;
+* the UDF is an iterator-of-batches function, so one Python worker streams
+  batches without materializing a partition;
+* final ordering is ``sortWithinPartitions(conv_id, turn_idx)`` — a local
+  sort, no extra shuffle, giving the stable per-turn ordering the equality
+  gate requires.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional
+
+import pandas as pd
+
+from ..engine import parse_document
+from ..engine.compose import ComposeError  # noqa: F401 (re-export for callers)
+from .heuristics import ExtractConfig, extract_main
+from .schema import EXTRACTION_SCHEMA
+
+__all__ = ['extract_payload', 'extract_batches', 'extract_turns',
+           'FAST_PATH_MARKUP']
+
+#: payloads containing neither < nor > skip the parser entirely
+FAST_PATH_MARKUP = ('<', '>')
+
+
+def extract_payload(payload: Optional[str],
+                    config: ExtractConfig = ExtractConfig()) -> dict:
+    """extract one turn; never raises — errors land in ``parse_error``.
+
+    Deterministic contract (mirrored by the DuckDB oracles in
+    __spark_entry__.py):
+
+    * None -> empty output with ``parse_error='null'``;
+    * no ``<`` and no ``>`` in the payload -> identity fast path
+      (``main_text`` = payload, one full-range span);
+    * otherwise parse (HTML mode, fix_broken) + heuristics; any engine
+      exception is captured per turn as ``type: message``.
+    """
+    if payload is None:
+        return dict(main_text='', spans=[], parse_error='null',
+                    n_nodes=0, n_text_chars=0)
+    if '<' not in payload and '>' not in payload:
+        n = len(payload)
+        return dict(main_text=payload, spans=[(0, n)] if n else [],
+                    parse_error=None, n_nodes=0, n_text_chars=n)
+    try:
+        root = parse_document(payload.encode(), mode='html', fix_broken=True,
+                              track_spans=True)
+    except Exception as exc:  # noqa: BLE001 - per-turn containment
+        return dict(main_text='', spans=[],
+                    parse_error=f'{type(exc).__name__}: {exc}',
+                    n_nodes=0, n_text_chars=0)
+    got = extract_main(root, config)
+    return dict(main_text=got.main_text, spans=list(got.spans),
+                parse_error=None, n_nodes=got.n_nodes,
+                n_text_chars=got.n_text_chars)
+
+
+def extract_batches(batches: Iterable[pd.DataFrame],
+                    config: ExtractConfig = ExtractConfig()
+                    ) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one call per Arrow batch, plain python loop per
+    document inside the batch"""
+    for pdf in batches:
+        conv = pdf['conv_id']
+        turn = pdf['turn_idx']
+        rows = [extract_payload(t, config) for t in pdf['text']]
+        yield pd.DataFrame({
+            'conv_id': conv.values,
+            'turn_idx': turn.values,
+            'main_text': [r['main_text'] for r in rows],
+            'spans': [r['spans'] for r in rows],
+            'parse_error': [r['parse_error'] for r in rows],
+            'n_nodes': [r['n_nodes'] for r in rows],
+            'n_text_chars': [r['n_text_chars'] for r in rows],
+        })
+
+
+def extract_turns(df,
+                  config: ExtractConfig = ExtractConfig(),
+                  partitions: Optional[int] = None,
+                  salt: int = 16,
+                  sort_output: bool = True):
+    """transcripts DataFrame -> extraction DataFrame.
+
+    ``partitions``/``salt`` control the explicit salted repartition; with
+    ``partitions=None`` the session's shuffle parallelism is used.
+    """
+    from pyspark.sql import functions as F
+
+    from .skew import salted_repartition
+
+    cols = df.select('conv_id', 'turn_idx', 'text')
+    spread = salted_repartition(cols, partitions, salt=salt)
+    out = spread.mapInPandas(
+        lambda it: extract_batches(it, config), schema=EXTRACTION_SCHEMA)
+    if sort_output:
+        out = out.sortWithinPartitions('conv_id', 'turn_idx')
+    return out
