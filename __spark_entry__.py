@@ -1,38 +1,532 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction on sf0.001. ``queries()`` maps
+operator names (SURVEY.md §2 + training-data ops) to callables; each has a
+DuckDB-runnable ``oracle_sql()`` twin computing the same result relationally.
+
+Engine-backed queries run the *real* parse/xpath/escape/serialize engine in
+Arrow-batched pandas UDFs; their oracles are SQL-constructible because the
+``documents`` corpus is markup-free, so the expected engine output has a
+closed form (identity / wrapped / counted). Aggregates avoid floats where
+possible (decimal-exact sums cast to double, integer math for ratios) so
+value hashes match across engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+import sys  # noqa: E402
+
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = '/root/testdata/sf0.001'
+
+# escape table, in replace order (engine/entities.py parity)
+_ATTRIB_PAIRS = [('&', '&amp;'), ('<', '&lt;'), ('>', '&gt;'),
+                 ('"', '&quot;'), (' ', '&nbsp;'), ('\r', '&#13;'),
+                 ('\n', '&#10;'), ('\t', '&#09;'), ("'", '&#39;')]
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f'{name}.parquet'))
+
+
+# --------------------------------------------------------------- engine UDFs
+
+def _wrap_html(text_col):
+    return F.concat(F.lit('<html><body><article><p>'), text_col,
+                    F.lit('</p></article></body></html>'))
+
+
+_EXTRACT_SCHEMA = StructType([
+    StructField('doc_id', LongType()),
+    StructField('main_text', StringType()),
+    StructField('n_text_chars', LongType()),
+    StructField('parse_error', StringType()),
+])
+
+
+def _extract_batches(batches):
+    from pyxml_spark.pipeline.extract import extract_payload
+    for pdf in batches:
+        rows = [extract_payload(t) for t in pdf['payload']]
+        yield pd.DataFrame({
+            'doc_id': pdf['doc_id'].values,
+            'main_text': [r['main_text'] for r in rows],
+            'n_text_chars': [r['n_text_chars'] for r in rows],
+            'parse_error': [r['parse_error'] for r in rows],
+        })
+
+
+def _run_extraction(df: DataFrame) -> DataFrame:
+    """documents-shaped df with (doc_id, payload) -> extraction columns"""
+    return df.mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
+
+
+def _xpath_count_batches(batches):
+    from pyxml_spark.engine.html import fromstring
+    from pyxml_spark.engine.xq import compile_path, run_steps
+    prog = compile_path('//p')  # compiled once per worker, reused per doc
+    for pdf in batches:
+        counts = []
+        for payload in pdf['payload']:
+            root = fromstring(payload.encode())
+            counts.append(len(run_steps(prog, (root,))))
+        yield pd.DataFrame({'doc_id': pdf['doc_id'].values, 'n_p': counts})
+
+
+def _serialize_batches(batches):
+    from pyxml_spark.engine.html import fromstring, tostring
+    for pdf in batches:
+        out = [tostring(fromstring(p.encode())).decode()
+               for p in pdf['payload']]
+        yield pd.DataFrame({'doc_id': pdf['doc_id'].values, 'serialized': out})
+
+
+# ------------------------------------------------------------------- queries
+
+def q_extract_documents(spark, sf_dir) -> DataFrame:
+    """flagship: per-document extraction (documents are markup-free, so this
+    exercises the fast path + schema end-to-end)"""
+    docs = _table(spark, sf_dir, 'documents')
+    src = docs.select('doc_id', F.col('text').alias('payload'))
+    return _run_extraction(src).select('doc_id', 'main_text', 'n_text_chars')
+
+
+def q_extract_html_wrapped(spark, sf_dir) -> DataFrame:
+    """real parse + heuristics over documents wrapped in an HTML shell;
+    expected main_text has a closed form (whitespace-normalized text when the
+    block passes min_block_chars, else '')"""
+    docs = _table(spark, sf_dir, 'documents')
+    src = docs.select('doc_id', _wrap_html(F.col('text')).alias('payload'))
+    return _run_extraction(src).select('doc_id', 'main_text')
+
+
+def q_xpath_count(spark, sf_dir) -> DataFrame:
+    """xpath descendant+tag query inside the UDF; p-count is doc_id%5+1 by
+    construction"""
+    docs = _table(spark, sf_dir, 'documents')
+    payload = F.concat(
+        F.lit('<div>'),
+        F.repeat(F.lit('<p>x</p>'), (F.col('doc_id') % 5 + 1).cast('int')),
+        F.lit('</div>'))
+    src = docs.select('doc_id', payload.alias('payload'))
+    out = src.mapInPandas(_xpath_count_batches, schema=StructType([
+        StructField('doc_id', LongType()), StructField('n_p', LongType())]))
+    return out.select('doc_id', F.col('n_p').cast('long').alias('n_p'))
+
+
+def q_serialize_roundtrip(spark, sf_dir) -> DataFrame:
+    """parse -> tostring(html); expected bytes have a closed form"""
+    docs = _table(spark, sf_dir, 'documents')
+    src = docs.select('doc_id', _wrap_html(F.col('text')).alias('payload'))
+    return src.mapInPandas(_serialize_batches, schema=StructType([
+        StructField('doc_id', LongType()),
+        StructField('serialized', StringType())]))
+
+
+def q_escape_attrib(spark, sf_dir) -> DataFrame:
+    """engine escape_attrib over events.props (quote/space/newline quirks)"""
+    events = _table(spark, sf_dir, 'events')
+
+    @F.pandas_udf(StringType())
+    def esc(s: pd.Series) -> pd.Series:
+        from pyxml_spark.engine.entities import escape_attrib
+        return s.map(lambda v: escape_attrib(v) if v is not None else None)
+
+    return events.select('event_id', esc('props').alias('escaped'))
+
+
+def q_escape_unescape_identity(spark, sf_dir) -> DataFrame:
+    """escape_cdata then unescape is identity on markup-free text"""
+    docs = _table(spark, sf_dir, 'documents')
+
+    @F.pandas_udf(StringType())
+    def roundtrip(s: pd.Series) -> pd.Series:
+        from pyxml_spark.engine.entities import escape_cdata, unescape
+        return s.map(lambda v: unescape(escape_cdata(v))
+                     if v is not None else None)
+
+    return docs.select('doc_id', roundtrip('text').alias('text_rt'))
+
+
+def q_agg_by_source(spark, sf_dir) -> DataFrame:
+    docs = _table(spark, sf_dir, 'documents')
+    return (docs.groupBy('source', 'lang').agg(
+        F.count('*').alias('n_docs'),
+        F.sum('n_chars').alias('total_chars'),
+        F.min('doc_id').alias('first_doc')))
+
+
+def q_window_top_docs(spark, sf_dir) -> DataFrame:
+    from pyspark.sql.window import Window
+    docs = _table(spark, sf_dir, 'documents')
+    w = Window.partitionBy('source').orderBy(F.desc('n_chars'), F.asc('doc_id'))
+    return (docs.withColumn('rnk', F.row_number().over(w).cast('long'))
+            .where(F.col('rnk') <= 3)
+            .select('doc_id', 'source', 'n_chars', 'rnk'))
+
+
+def q_antijoin_pending(spark, sf_dir) -> DataFrame:
+    """the resume primitive: input anti-join completed set"""
+    docs = _table(spark, sf_dir, 'documents')
+    done = docs.where(F.col('doc_id') % 7 < 2).select('doc_id')
+    return (docs.join(F.broadcast(done), on='doc_id', how='left_anti')
+            .select('doc_id', 'source'))
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    """exact dedup by content hash: canonical doc per fingerprint"""
+    docs = _table(spark, sf_dir, 'documents')
+    return (docs.withColumn('fp', F.md5(F.col('text').cast('binary')))
+            .groupBy('fp').agg(F.min('doc_id').alias('keeper'),
+                               F.count('*').alias('n_copies')))
+
+
+def q_token_count(spark, sf_dir) -> DataFrame:
+    docs = _table(spark, sf_dir, 'documents')
+    trimmed = F.trim(F.col('text'))
+    n = F.when(trimmed == '', F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r'\s+')))
+    return docs.select('doc_id', n.cast('long').alias('n_tokens'))
+
+
+def q_quality_score(spark, sf_dir) -> DataFrame:
+    """length/word-shape quality gate with integer-only math"""
+    docs = _table(spark, sf_dir, 'documents')
+    trimmed = F.trim(F.col('text'))
+    n_tokens = F.when(trimmed == '', F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r'\s+'))).cast('long')
+    chars_ns = F.length(F.regexp_replace('text', r'\s+', '')).cast('long')
+    d = docs.select('doc_id', n_tokens.alias('n_tokens'),
+                    chars_ns.alias('chars_ns'))
+    is_q = ((F.col('n_tokens') >= 5) & (F.col('n_tokens') <= 500)
+            & (F.col('chars_ns') >= 3 * F.col('n_tokens'))
+            & (F.col('chars_ns') <= 12 * F.col('n_tokens')))
+    return d.select('doc_id', 'n_tokens', 'chars_ns',
+                    is_q.alias('is_quality'))
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    """stopword-hit language heuristic"""
+    docs = _table(spark, sf_dir, 'documents')
+    padded = F.concat(F.lit(' '), F.col('text'), F.lit(' '))
+    hits = sum((F.instr(padded, f' {w} ') > 0).cast('long')
+               for w in ('the', 'and', 'of', 'to', 'in'))
+    d = docs.select('doc_id', hits.alias('en_hits'))
+    return d.select('doc_id', 'en_hits',
+                    F.when(F.col('en_hits') >= 2, F.lit('en'))
+                    .otherwise(F.lit('unk')).alias('predicted'))
+
+
+def q_fingerprint_shingle(spark, sf_dir) -> DataFrame:
+    """document fingerprint: md5 over the sorted distinct token set"""
+    docs = _table(spark, sf_dir, 'documents')
+    words = F.array_sort(F.array_distinct(F.split(F.trim('text'), r'\s+')))
+    return docs.select(
+        'doc_id',
+        F.md5(F.concat_ws('\x1f', words).cast('binary')).alias('fp'))
+
+
+def q_minhash_band(spark, sf_dir) -> DataFrame:
+    """MinHash (lexicographic-min of seeded md5 over the token set) -> LSH
+    band key; near-dup candidates share a band"""
+    docs = _table(spark, sf_dir, 'documents')
+    words = F.array_distinct(F.split(F.trim('text'), r'\s+'))
+
+    def minhash(seed: int):
+        return F.array_min(F.transform(
+            words, lambda w: F.md5(F.concat(w, F.lit(f'#{seed}'))
+                                   .cast('binary'))))
+
+    d = docs.where(F.trim('text') != '').select(
+        'doc_id', minhash(0).alias('h0'), minhash(1).alias('h1'))
+    return d.select('doc_id',
+                    F.concat(F.col('h0'), F.lit('|'), F.col('h1'))
+                    .alias('band'))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """token-set jaccard between paired docs (doc i vs doc 2i), integer
+    scaled x10000 — the n-gram near-dup primitive"""
+    docs = _table(spark, sf_dir, 'documents')
+    words = F.array_distinct(F.split(F.trim('text'), r'\s+'))
+    w = docs.select('doc_id', words.alias('w'))
+    a = w.alias('a')
+    b = w.alias('b')
+    pairs = a.join(b, F.col('a.doc_id') * 2 == F.col('b.doc_id'))
+    inter = F.size(F.array_intersect('a.w', 'b.w')).cast('long')
+    union = F.size(F.array_union('a.w', 'b.w')).cast('long')
+    jac = F.when(union == 0, F.lit(0)).otherwise(
+        F.floor(inter * 10000 / union)).cast('long')
+    return pairs.select(F.col('a.doc_id').alias('doc_a'),
+                        F.col('b.doc_id').alias('doc_b'),
+                        jac.alias('jaccard_x10k'))
+
+
+def q_simsearch_topk(spark, sf_dir) -> DataFrame:
+    """brute-force cosine top-10 against the vec_id=0 query embedding;
+    double accumulation matches DuckDB's double inner product"""
+    emb = _table(spark, sf_dir, 'embeddings')
+    vec = emb.select('vec_id', F.transform('embedding',
+                                           lambda x: x.cast('double'))
+                     .alias('v'))
+    query = vec.where(F.col('vec_id') == 0) \
+        .select(F.col('v').alias('q'))
+    dot = F.aggregate(F.zip_with('v', 'q', lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    scored = (vec.crossJoin(F.broadcast(query))
+              .select('vec_id',
+                      (dot / (norm('v') * norm('q'))).alias('cos')))
+    return (scored.orderBy(F.desc('cos'), F.asc('vec_id')).limit(10)
+            .select('vec_id', F.round('cos', 4).alias('cos_sim')))
+
+
+def q_join_rollup(spark, sf_dir) -> DataFrame:
+    """TPC-H-flavored join + decimal-exact aggregation (broadcast the dim)"""
+    li = _table(spark, sf_dir, 'lineitem')
+    orders = _table(spark, sf_dir, 'orders')
+    j = li.join(orders.select('o_orderkey', 'o_orderpriority'),
+                li.l_orderkey == orders.o_orderkey)
+    return (j.groupBy('o_orderpriority').agg(
+        F.count('*').alias('n_items'),
+        F.sum(F.col('l_quantity').cast('decimal(18,2)'))
+        .cast('double').alias('sum_qty'),
+        F.sum(F.col('l_extendedprice').cast('decimal(18,2)'))
+        .cast('double').alias('sum_price')))
+
+
+def q_events_rollup(spark, sf_dir) -> DataFrame:
+    events = _table(spark, sf_dir, 'events')
+    return (events.groupBy('user_id', 'event_type').agg(
+        F.count('*').alias('n'),
+        F.sum(F.col('value').cast('decimal(18,2)'))
+        .cast('double').alias('total_value')))
+
+
+def q_ordered_turns(spark, sf_dir) -> DataFrame:
+    """stable-ordering primitive: dense sequence index per source by doc_id"""
+    from pyspark.sql.window import Window
+    docs = _table(spark, sf_dir, 'documents')
+    w = Window.partitionBy('source').orderBy('doc_id')
+    return docs.select('doc_id', 'source',
+                       (F.row_number().over(w) - 1).cast('long')
+                       .alias('turn_seq'))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    docs = _table(spark, DEFAULT_SF_DIR, 'documents')
+    src = docs.select('doc_id', _wrap_html(F.col('text')).alias('payload'))
+    out = _run_extraction(src)
+    return out.select('doc_id', 'main_text', 'n_text_chars', 'parse_error') \
+        .orderBy('doc_id')
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ §2-F pipeline
+    and training-data ops)."""
+    return {
+        'extract_documents': q_extract_documents,
+        'extract_html_wrapped': q_extract_html_wrapped,
+        'xpath_count': q_xpath_count,
+        'serialize_roundtrip': q_serialize_roundtrip,
+        'escape_attrib': q_escape_attrib,
+        'escape_unescape_identity': q_escape_unescape_identity,
+        'agg_by_source': q_agg_by_source,
+        'window_top_docs': q_window_top_docs,
+        'antijoin_pending': q_antijoin_pending,
+        'dedup_exact': q_dedup_exact,
+        'token_count': q_token_count,
+        'quality_score': q_quality_score,
+        'lang_id': q_lang_id,
+        'fingerprint_shingle': q_fingerprint_shingle,
+        'minhash_band': q_minhash_band,
+        'ngram_jaccard_pairs': q_ngram_jaccard_pairs,
+        'simsearch_topk': q_simsearch_topk,
+        'join_rollup': q_join_rollup,
+        'events_rollup': q_events_rollup,
+        'ordered_turns': q_ordered_turns,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sql_norm(col: str) -> str:
+    """whitespace-normalize like heuristics._norm"""
+    return f"trim(regexp_replace({col}, '[ \t\r\n\f\v]+', ' ', 'g'))"
+
+
+def _sql_escape_attrib(col: str) -> str:
+    expr = col
+    for ch, ent in _ATTRIB_PAIRS:
+        if ch == '\r':
+            ch_sql = 'chr(13)'
+        elif ch == '\n':
+            ch_sql = 'chr(10)'
+        elif ch == '\t':
+            ch_sql = 'chr(9)'
+        elif ch == "'":
+            ch_sql = "''''"
+        else:
+            ch_sql = f"'{ch}'"
+        expr = f"replace({expr}, {ch_sql}, '{ent}')"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins (views: region nation customer supplier part orders
+    lineitem events documents embeddings)."""
+    norm = _sql_norm('text')
+    wrapped_full = ("'<html><body><article><p>' || text || "
+                    "'</p></article></body></html>'")
+    wrapped_empty = "'<html><body><article><p/></article></body></html>'"
+    words = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
+    return {
+        'extract_documents': f"""
+            SELECT doc_id, text AS main_text,
+                   CAST(length(text) AS BIGINT) AS n_text_chars
+            FROM documents""",
+        'extract_html_wrapped': f"""
+            SELECT doc_id,
+                   CASE WHEN length({norm}) >= 10 THEN {norm} ELSE '' END
+                       AS main_text
+            FROM documents""",
+        'xpath_count': """
+            SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS n_p
+            FROM documents""",
+        'serialize_roundtrip': f"""
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR text = '' THEN {wrapped_empty}
+                        ELSE {wrapped_full} END AS serialized
+            FROM documents""",
+        'escape_attrib': f"""
+            SELECT event_id, {_sql_escape_attrib('props')} AS escaped
+            FROM events""",
+        'escape_unescape_identity': """
+            SELECT doc_id, text AS text_rt FROM documents""",
+        'agg_by_source': """
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   MIN(doc_id) AS first_doc
+            FROM documents GROUP BY source, lang""",
+        'window_top_docs': """
+            SELECT doc_id, source, n_chars, rnk FROM (
+                SELECT doc_id, source, n_chars,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS BIGINT)
+                           AS rnk
+                FROM documents) WHERE rnk <= 3""",
+        'antijoin_pending': """
+            SELECT doc_id, source FROM documents WHERE doc_id % 7 >= 2""",
+        'dedup_exact': """
+            SELECT md5(text) AS fp, MIN(doc_id) AS keeper,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)""",
+        'token_count': """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(trim(text),
+                                                                '\\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents""",
+        'quality_score': """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                trim(text), '\\s+')) END AS BIGINT)
+                           AS n_tokens,
+                       CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                            AS BIGINT) AS chars_ns
+                FROM documents)
+            SELECT doc_id, n_tokens, chars_ns,
+                   (n_tokens >= 5 AND n_tokens <= 500
+                    AND chars_ns >= 3 * n_tokens
+                    AND chars_ns <= 12 * n_tokens) AS is_quality
+            FROM t""",
+        'lang_id': """
+            WITH t AS (
+                SELECT doc_id,
+                       (CASE WHEN position(' the ' IN ' ' || text || ' ') > 0
+                             THEN 1 ELSE 0 END
+                        + CASE WHEN position(' and ' IN ' ' || text || ' ') > 0
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN position(' of ' IN ' ' || text || ' ') > 0
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN position(' to ' IN ' ' || text || ' ') > 0
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN position(' in ' IN ' ' || text || ' ') > 0
+                               THEN 1 ELSE 0 END)::BIGINT AS en_hits
+                FROM documents)
+            SELECT doc_id, en_hits,
+                   CASE WHEN en_hits >= 2 THEN 'en' ELSE 'unk' END
+                       AS predicted
+            FROM t""",
+        'fingerprint_shingle': """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       regexp_split_to_array(trim(text), '\\s+'))),
+                       chr(31))) AS fp
+            FROM documents""",
+        'minhash_band': f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_min(list_transform({words},
+                                w -> md5(w || '#0'))) AS h0,
+                       list_min(list_transform({words},
+                                w -> md5(w || '#1'))) AS h1
+                FROM documents WHERE trim(text) <> '')
+            SELECT doc_id, h0 || '|' || h1 AS band FROM t""",
+        'ngram_jaccard_pairs': f"""
+            WITH w AS (SELECT doc_id, {words} AS w FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(CASE WHEN len(list_distinct(list_concat(a.w, b.w)))
+                                  = 0 THEN 0
+                        ELSE floor(len(list_intersect(a.w, b.w)) * 10000
+                             / len(list_distinct(list_concat(a.w, b.w))))
+                        END AS BIGINT) AS jaccard_x10k
+            FROM w a JOIN w b ON a.doc_id * 2 = b.doc_id""",
+        'simsearch_topk': """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+                 q AS (SELECT v AS q FROM v WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_inner_product(v, q)
+                         / (sqrt(list_inner_product(v, v))
+                            * sqrt(list_inner_product(q, q))), 4)
+                       AS cos_sim
+            FROM v, q
+            ORDER BY list_inner_product(v, q)
+                     / (sqrt(list_inner_product(v, v))
+                        * sqrt(list_inner_product(q, q))) DESC, vec_id ASC
+            LIMIT 10""",
+        'join_rollup': """
+            SELECT o_orderpriority, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        'events_rollup': """
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_value
+            FROM events GROUP BY user_id, event_type""",
+        'ordered_turns': """
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY doc_id) - 1 AS BIGINT) AS turn_seq
+            FROM documents""",
+    }

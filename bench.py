@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: transcript extraction throughput (turns/sec) over a
+deterministic synthetic transcripts table sized ~10M rows/sf (1M at sf0.1),
+plus representative engine/pipeline queries from __spark_entry__.
+
+The two-cluster-size scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py, which shells out to this module's extraction run at
+both parallelism levels.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+BENCH_TMP = os.environ.get('PYXML_SPARK_BENCH_DIR', '/tmp/pyxml_spark_bench')
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip('/'))
+    try:
+        return float(base.replace('sf', ''))
+    except ValueError:
+        return 0.1
+
+
+def transcripts_path(spark, sf: float) -> str:
+    """cached deterministic transcripts parquet for this sf"""
+    rows = max(int(10_000_000 * sf), 20_000)
+    path = os.path.join(BENCH_TMP, f'transcripts_sf{sf}_{rows}.parquet')
+    marker = os.path.join(path, '_SUCCESS')
+    if not os.path.exists(marker):
+        from pyxml_spark.pipeline.transcripts import write_transcripts
+        write_transcripts(spark, path, rows, seed=42,
+                          partitions=max(spark.sparkContext.defaultParallelism,
+                                         8))
+    return path
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f'local[{cpus}]')
+            .appName('pyxml-spark-bench')
+            .config('spark.sql.shuffle.partitions', str(max(cpus * 2, 16)))
+            .config('spark.sql.adaptive.enabled', 'true')
+            .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+            .config('spark.sql.execution.arrow.maxRecordsPerBatch', '16384')
+            .config('spark.ui.enabled', 'false')
+            .config('spark.driver.memory',
+                    os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
+            .getOrCreate())
+
+
+def main() -> int:
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    sf = sf_from_dir(sf_dir)
+
+    import __spark_entry__ as entry
+    from pyxml_spark.pipeline import extract_turns
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel('ERROR')
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    try:
+        tpath = transcripts_path(spark, sf)
+        turns = spark.read.parquet(tpath)
+        n_turns = turns.count()
+
+        t0 = time.time()
+        out = extract_turns(turns, partitions=cpus * 2)
+        rows_out = out.count()
+        dt = time.time() - t0
+        timings['transcripts_extract'] = round(dt, 3)
+        extras['turns'] = n_turns
+        extras['turns_per_sec'] = round(rows_out / dt, 1)
+
+        for name in ('extract_html_wrapped', 'xpath_count', 'minhash_band',
+                     'simsearch_topk', 'join_rollup', 'agg_by_source'):
+            fn = entry.queries()[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            'metric': 'turns/sec extraction throughput'
+                      ' (+ headline query wall times)',
+            'value': total,
+            'unit': 'sec',
+            'queries': timings,
+            'sf': sf,
+            'cpus': cpus,
+            **extras,
+        }))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -26,7 +26,7 @@ def build_session(cpus: int, app: str = 'pyxml-spark-extract'):
             .config('spark.sql.shuffle.partitions', str(max(cpus * 2, 8)))
             .config('spark.sql.adaptive.enabled', 'true')
             .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
-            .config('spark.sql.execution.arrow.maxRecordsPerBatch', '2048')
+            .config('spark.sql.execution.arrow.maxRecordsPerBatch', '16384')
             .config('spark.ui.enabled', 'false')
             .getOrCreate())
 

@@ -1,0 +1,31 @@
+"""Shape checks for the driver contract (full Spark-vs-DuckDB comparison
+lives in scripts/check_contract.py, run separately because it needs a JVM)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def test_queries_have_oracles():
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert qs, 'queries() must not be empty'
+    missing = set(oracles) - set(qs)
+    assert not missing, f'oracles without queries: {missing}'
+    # every query is either oracle-checked or explicitly rows-only
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == set(), \
+        f'unexpected rows-only queries (add oracle or whitelist): {rows_only}'
+
+
+def test_callables():
+    for name, fn in entry.queries().items():
+        assert callable(fn), name
+
+
+def test_oracle_sql_is_select():
+    for name, sql in entry.oracle_sql().items():
+        head = sql.strip().split(None, 1)[0].upper()
+        assert head in ('SELECT', 'WITH'), name
