@@ -54,6 +54,11 @@ _LBRACK, _RBRACK, _BSLASH, _NL, _SP = 0x5B, 0x5D, 0x5C, 0x0A, 0x20
 #: tags whose content is consumed verbatim up to the literal end tag
 RAWTEXT_TAGS = frozenset((b'script', b'style'))
 
+import re as _re  # noqa: E402
+
+#: run of word bytes: everything except whitespace and the =<>/ specials
+_WORD_RX = _re.compile(rb'[^\n\r\t =<>/]*')
+
 
 class Scanner:
     """single-pass tokenizer over one in-memory payload"""
@@ -98,6 +103,14 @@ class Scanner:
         i, data = self.i, self.data
         if j <= i:
             return
+        if j == i + 1:  # single-byte advance fast path
+            if data[i] == _NL:
+                self.line += 1
+                self.col = 1
+            else:
+                self.col += 1
+            self.i = j
+            return
         nl = data.count(b'\n', i, j)
         if nl:
             self.line += nl
@@ -116,31 +129,36 @@ class Scanner:
     # -------------------------------------------------------- value readers
 
     def _read_word(self, val: bytearray):
-        """word chars until whitespace (consumed) or =<>/ (left in stream)"""
-        while True:
-            c = self._get()
-            if c is None or c in _WS:
-                break
-            if c in _TAGSPECIAL:
-                self._back(1)
-                break
-            val.append(c)
+        """word chars until whitespace (consumed) or =<>/ (left in stream).
+        Regex fast path: the match ends exactly where the byte loop would."""
+        data, i = self.data, self.i
+        m = _WORD_RX.match(data, i)
+        end = m.end()
+        if end > i:
+            val += data[i:end]
+            self._advance_to(end)
+        if end < self.n and data[end] not in _TAGSPECIAL:
+            self._advance_to(end + 1)  # consume the terminating space
 
     def _read_tag_name(self, val: bytearray):
         """tag name; interior spaces before the name are skipped while the
         accumulator is empty or a lone slash (lexer.py:62-75)"""
+        data, n = self.data, self.n
         while True:
-            c = self._get()
-            if c is None:
-                break
-            if c in _WS:
-                if val and val != b'/':
-                    break
-                continue
-            if c in _TAGSPECIAL:
-                self._back(1)
-                break
-            val.append(c)
+            if not val or val == b'/':
+                self._skip_ws()
+            i = self.i
+            m = _WORD_RX.match(data, i)
+            end = m.end()
+            if end > i:
+                val += data[i:end]
+                self._advance_to(end)
+            if end >= n or data[end] in _TAGSPECIAL:
+                return
+            # a space: consumed; terminates a non-empty, non-'/' name
+            self._advance_to(end + 1)
+            if val and val != b'/':
+                return
 
     def _read_text(self, val: bytearray):
         """text run up to the next < or > (terminator stays in stream)"""
@@ -270,26 +288,6 @@ class Scanner:
 
     # ------------------------------------------------------------- classify
 
-    def _classify(self, c: int, val: bytearray) -> int:
-        """first-byte event classification (lexer.py:178-197)"""
-        if c == _LT:
-            return E_OPEN
-        elif c == _SLASH and self.prev != E_GT:
-            if self._gt_follows():
-                return E_SELF
-        elif c == _GT_:
-            return E_GT
-        elif c == _EQ and self.prev == E_ANAME:
-            self._skip_ws()
-            return E_AVAL
-        if not self.prev or E_GT <= self.prev <= E_PI:
-            val.append(c)
-            return E_TEXT
-        elif c not in _WS:
-            val.append(c)
-            return E_ANAME
-        return E_NONE
-
     def _text_payload(self, val: bytearray):
         """text continuation: raw-text mode inside script/style, else a plain
         text run (lexer.py:199-205)"""
@@ -314,24 +312,63 @@ class Scanner:
         return ev
 
     def _scan_one(self) -> ScanEvent:
+        """one raw event. The byte loop is inlined (locals for data/cursor/
+        counters, synced to ``self`` around helper calls) — this is the
+        hottest loop in the engine; semantics match lexer.py:207-243 +
+        guess_token (lexer.py:178-197) exactly."""
+        data, n = self.data, self.n
+        i, line, col = self.i, self.line, self.col
+        prev = self.prev
         kind = E_NONE
         val = bytearray()
-        line0, col0 = self.line, self.col
-        start = self.i
+        line0, col0 = line, col
+        start = i
         last: Optional[int] = None
         while True:
-            c = self._get()
-            last = c
-            if c is None:
+            if i >= n:
+                last = None
                 break
+            c = data[i]
+            i += 1
+            if c == _NL:
+                line += 1
+                col = 1
+            else:
+                col += 1
+            last = c
             # whitespace inside a tag body is skipped based on the previous
             # *emitted* event — source of the attr-name merge quirk
-            if c in _WS and self.prev < E_GT:
+            if c in _WS and prev < E_GT:
                 continue
             if not kind:
-                kind = self._classify(c, val)
-                if kind in (E_GT, E_SELF, E_TEXT):
+                # first-byte classification (guess_token)
+                if c == _LT:
+                    kind = E_OPEN
+                    continue
+                if c == _SLASH and prev != E_GT:
+                    self.i, self.line, self.col = i, line, col
+                    found = self._gt_follows()
+                    i, line, col = self.i, self.line, self.col
+                    if found:
+                        kind = E_SELF
+                        break
+                    # fall through to the context fallback below
+                elif c == _GT_:
+                    kind = E_GT
                     break
+                elif c == _EQ and prev == E_ANAME:
+                    self.i, self.line, self.col = i, line, col
+                    self._skip_ws()
+                    i, line, col = self.i, self.line, self.col
+                    kind = E_AVAL
+                    continue
+                if not prev or E_GT <= prev <= E_PI:
+                    val.append(c)
+                    kind = E_TEXT
+                    break
+                elif c not in _WS:
+                    val.append(c)
+                    kind = E_ANAME
                 continue
             if kind == E_OPEN:
                 if c == _BANG:
@@ -347,11 +384,12 @@ class Scanner:
                 val.append(c)
             if kind:
                 break
+        self.i, self.line, self.col = i, line, col
         # completion phase per kind (lexer.py:244-277)
         if kind == E_OPEN:
             gt_at = None
             self._read_tag_name(val)
-            if all(b in _TAGSPECIAL for b in val) or val[:1] == b' ':
+            if not val.strip(b'=<>/') or val[:1] == b' ':
                 kind = E_TEXT
                 val.insert(0, _LT)
                 val.append(_SP)
@@ -383,4 +421,4 @@ class Scanner:
             self._read_instruction(val)
         elif kind in (E_GT, E_SELF, E_NONE):
             pass
-        return (kind, bytes(val), line0, col0, start, self.i)
+        return (kind, val, line0, col0, start, self.i)

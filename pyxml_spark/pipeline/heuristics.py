@@ -86,6 +86,8 @@ def _norm(text: str) -> str:
 def _is_boiler_elem(tag: Any, attrib) -> bool:
     if tag in BOILER_TAGS:
         return True
+    if not attrib:
+        return False
     hint = attrib.get('class', '') + ' ' + attrib.get('id', '')
     return bool(_BOILER_HINT_RX.search(hint.lower()))
 
