@@ -1,0 +1,77 @@
+"""Structured Streaming extraction.
+
+The reference has no streaming (SURVEY.md §2-G) — its ``feed()`` API buffers,
+it does not incrementally parse. This module is the Spark-native streaming
+face of the same extraction operator: ``readStream`` on a transcripts source
+-> the identical Arrow-batched extraction kernel -> ``writeStream`` with
+checkpointing; optional watermarked per-conversation windowed rollups for
+late-arriving turns.
+
+Because extraction is stateless per turn, the batch kernel is reused verbatim
+(mapInArrow works on streaming DataFrames); exactly-once delivery comes from
+the sink checkpoint, complementing the batch-side bucket manifest.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .extract import extract_arrow_batches
+from .heuristics import ExtractConfig
+from .schema import EXTRACTION_SCHEMA, TRANSCRIPTS_SCHEMA
+
+__all__ = ['read_transcripts_stream', 'extract_stream',
+           'conversation_rollup_stream', 'run_file_stream']
+
+
+def read_transcripts_stream(spark: SparkSession, path: str,
+                            max_files_per_trigger: int = 16) -> DataFrame:
+    """file-source stream over a transcripts parquet directory"""
+    return (spark.readStream
+            .schema(TRANSCRIPTS_SCHEMA)
+            .option('maxFilesPerTrigger', max_files_per_trigger)
+            .parquet(path))
+
+
+def extract_stream(stream: DataFrame,
+                   config: ExtractConfig = ExtractConfig()) -> DataFrame:
+    """streaming extraction: same kernel, no repartition (stream partitions
+    follow the source; salting is a batch concern)"""
+    cols = stream.select('conv_id', 'turn_idx', 'text', 'ts')
+    return cols.select('conv_id', 'turn_idx', 'text').mapInArrow(
+        lambda it: extract_arrow_batches(it, config), schema=EXTRACTION_SCHEMA)
+
+
+def conversation_rollup_stream(stream: DataFrame,
+                               watermark: str = '10 minutes',
+                               window: str = '5 minutes') -> DataFrame:
+    """watermarked per-conversation windowed aggregate over raw turns —
+    late turns beyond the watermark are dropped deterministically"""
+    return (stream
+            .withWatermark('ts', watermark)
+            .groupBy(F.window('ts', window), F.col('conv_id'))
+            .agg(F.count('*').alias('n_turns'),
+                 F.sum(F.length('text')).alias('chars_in')))
+
+
+def run_file_stream(spark: SparkSession, input_path: str, output_path: str,
+                    checkpoint_path: str,
+                    config: ExtractConfig = ExtractConfig(),
+                    timeout_s: Optional[float] = None):
+    """end-to-end file stream: returns the query after it stops (bounded
+    runs use timeout_s; production runs pass None and manage the query)"""
+    out = extract_stream(read_transcripts_stream(spark, input_path), config)
+    query = (out.writeStream
+             .format('parquet')
+             .option('path', output_path)
+             .option('checkpointLocation', checkpoint_path)
+             .outputMode('append')
+             .trigger(availableNow=True)
+             .start())
+    if timeout_s is not None:
+        query.awaitTermination(timeout_s)
+        query.stop()
+    else:
+        query.awaitTermination()
+    return query

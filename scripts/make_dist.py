@@ -1,0 +1,32 @@
+"""Package pyxml_spark into dist/pyxml_spark.zip for spark-submit --py-files.
+
+Usage:
+    python3 scripts/make_dist.py
+    spark-submit --py-files dist/pyxml_spark.zip pyxml_spark/jobs/extract.py ...
+"""
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out_path: str = None) -> str:
+    out_path = out_path or os.path.join(REPO, 'dist', 'pyxml_spark.zip')
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pkg = os.path.join(REPO, 'pyxml_spark')
+    with zipfile.ZipFile(out_path, 'w', zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if '__pycache__' in root:
+                continue
+            for name in sorted(files):
+                if not name.endswith('.py'):
+                    continue
+                full = os.path.join(root, name)
+                zf.write(full, os.path.relpath(full, REPO))
+    return out_path
+
+
+if __name__ == '__main__':
+    print(build())

@@ -1,0 +1,107 @@
+"""Structured Streaming extraction + multimodal plumbing tests."""
+import os
+
+import pytest
+
+pyspark = pytest.importorskip('pyspark')
+
+
+@pytest.fixture(scope='module')
+def spark():
+    from pyspark.sql import SparkSession
+    s = (SparkSession.builder.master('local[4]')
+         .appName('pyxml-spark-stream-tests')
+         .config('spark.sql.shuffle.partitions', '4')
+         .config('spark.ui.enabled', 'false')
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    from pyxml_spark.pipeline import (TRANSCRIPTS_SCHEMA, extract_turns,
+                                      gen_transcripts_pdf)
+    from pyxml_spark.pipeline.streaming import run_file_stream
+
+    pdf = gen_transcripts_pdf(200, seed=7)
+    inp = os.path.join(tmp_path, 'in')
+    out = os.path.join(tmp_path, 'out')
+    ckpt = os.path.join(tmp_path, 'ckpt')
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    df.repartition(4).write.parquet(inp)
+
+    run_file_stream(spark, inp, out, ckpt)
+
+    streamed = {(r.conv_id, r.turn_idx): r.main_text
+                for r in spark.read.parquet(out).collect()}
+    batch = {(r.conv_id, r.turn_idx): r.main_text
+             for r in extract_turns(df).collect()}
+    assert streamed == batch
+
+
+def test_streaming_rollup_plan(spark, tmp_path):
+    """watermarked windowed agg builds a valid incremental plan"""
+    from pyxml_spark.pipeline import TRANSCRIPTS_SCHEMA, gen_transcripts_pdf
+    from pyxml_spark.pipeline.streaming import (conversation_rollup_stream,
+                                                read_transcripts_stream)
+    inp = os.path.join(tmp_path, 'in2')
+    spark.createDataFrame(gen_transcripts_pdf(100, seed=3),
+                          schema=TRANSCRIPTS_SCHEMA).write.parquet(inp)
+    rollup = conversation_rollup_stream(read_transcripts_stream(spark, inp))
+    q = (rollup.writeStream.format('memory').queryName('rollup_test')
+         .outputMode('append')
+         .option('checkpointLocation', os.path.join(tmp_path, 'ckpt2'))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    q.stop()
+    # append mode + watermark: rows emit only when the watermark passes, so
+    # the assertion is on plan validity / run success, not row counts
+    assert spark.table('rollup_test').columns == ['window', 'conv_id',
+                                                  'n_turns', 'chars_in']
+
+
+def test_media_features(spark):
+    from pyxml_spark.pipeline.multimodal import (MEDIA_SCHEMA, FEATURE_DIM,
+                                                 extract_media_features,
+                                                 fake_decode, synth_media_pdf)
+    pdf = synth_media_pdf(60, seed=42)
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    out = extract_media_features(df, partitions=4).collect()
+    assert len(out) == 60
+    by_id = {r.media_id: r for r in out}
+    for row in pdf.itertuples():
+        got = by_id[row.media_id]
+        if row.payload is None:
+            # arrow delivers None payload; decoder raises -> contained error
+            assert got.decode_error is not None
+            assert got.features is None
+        else:
+            assert got.decode_error is None
+            assert len(got.features) == FEATURE_DIM
+            # deterministic: same bytes -> same features
+            want = fake_decode(row.kind, row.payload, None)
+            assert [round(f, 6) for f in got.features] == \
+                [round(w, 6) for w in want]
+
+
+def test_media_decoder_registry_is_swappable():
+    from pyxml_spark.pipeline import multimodal as mm
+    calls = []
+
+    def custom(kind, payload, meta):
+        calls.append(kind)
+        return [0.0] * mm.FEATURE_DIM
+
+    old = dict(mm.DECODERS)
+    try:
+        mm.DECODERS['image'] = custom
+        import pyarrow as pa
+        batch = pa.RecordBatch.from_pydict({
+            'media_id': [1], 'kind': ['image'], 'payload': [b'xx'],
+        })
+        out = list(mm.media_feature_batches([batch]))[0]
+        assert calls == ['image']
+        assert out.column(3).to_pylist()[0] == [0.0] * mm.FEATURE_DIM
+    finally:
+        mm.DECODERS.clear()
+        mm.DECODERS.update(old)
