@@ -1,0 +1,118 @@
+"""Capture physical plans for the pipeline's key operators into PLANS.md and
+assert the scale-critical properties:
+
+* parquet scans push filters (PushedFilters) and prune columns (ReadSchema);
+* the resume anti-join broadcasts the small side;
+* relational glue runs in WholeStageCodegen;
+* the extraction stage is a single Exchange (the salted repartition) feeding
+  one ArrowEvalPython/MapInArrow stage — no extra shuffles.
+
+Usage: python3 scripts/explain_plans.py [sf_dir]
+"""
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def plan_of(df, mode: str = 'formatted') -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from bench import build_session
+    from pyxml_spark.pipeline import extract_turns, with_bucket
+
+    spark = build_session(8)
+    spark.sparkContext.setLogLevel('ERROR')
+    sections = []
+    checks = []
+
+    def add(name, df, must_contain=()):
+        text = plan_of(df)
+        sections.append((name, text))
+        for needle in must_contain:
+            ok = needle in text
+            checks.append((name, needle, ok))
+
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+
+    # 1. filter + projection pushdown into the scan
+    add('scan_pushdown',
+        docs.where(F.col('doc_id') < 100).select('doc_id', 'source'),
+        must_contain=['PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]',
+                      'ReadSchema: struct<doc_id:bigint,source:string>'])
+
+    # 2. resume anti-join broadcasts the completed-bucket side
+    done = spark.createDataFrame([(i,) for i in range(8)], 'bucket int')
+    pending = with_bucket(docs.withColumnRenamed('doc_id', 'conv_id_long')
+                          .withColumn('conv_id', F.col('conv_id_long')
+                                      .cast('string')), 64) \
+        .join(F.broadcast(done), on='bucket', how='left_anti')
+    add('resume_broadcast_antijoin', pending,
+        must_contain=['BroadcastHashJoin', 'LeftAnti'])
+
+    # 3. extraction: exactly one exchange (salted repartition) + arrow stage
+    turns = spark.createDataFrame(
+        [('c1', 0, '<p>hello world</p>', '', None)],
+        'conv_id string, turn_idx int, text string, tool string, ts timestamp')
+    ext_plan = plan_of(extract_turns(turns))
+    sections.append(('extract_turns', ext_plan))
+    checks.append(('extract_turns', 'single Exchange',
+                   ext_plan.count(') Exchange') == 1))
+    checks.append(('extract_turns', 'arrow map stage',
+                   ('MapInArrow' in ext_plan) or ('ArrowEvalPython' in ext_plan)
+                   or ('PythonMapInArrow' in ext_plan)))
+
+    # 4. join rollup: codegen (simple mode marks codegen stages with '*(n)')
+    # + partial aggregation
+    def executed_plan(df) -> str:
+        df.collect()  # trigger AQE so the final (codegen-annotated) plan exists
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    jr = entry.q_join_rollup(spark, sf_dir)
+    add('join_rollup', jr, must_contain=['HashAggregate', 'partial_sum'])
+    checks.append(('join_rollup', 'whole-stage codegen (*(n) spans)',
+                   '*(' in executed_plan(jr)))
+
+    # 5. window query
+    wt = entry.q_window_top_docs(spark, sf_dir)
+    add('window_top_docs', wt, must_contain=['Window'])
+    checks.append(('window_top_docs', 'whole-stage codegen (*(n) spans)',
+                   '*(' in executed_plan(wt)))
+
+    # 6. simsearch: broadcast of the single-row query vector
+    add('simsearch_topk', entry.q_simsearch_topk(spark, sf_dir),
+        must_contain=['BroadcastNestedLoopJoin', 'TakeOrderedAndProject'])
+
+    failed = [c for c in checks if not c[2]]
+    out = os.path.join(REPO, 'PLANS.md')
+    with open(out, 'w') as f:
+        f.write('# PLANS — physical plan evidence (explain formatted)\n\n')
+        f.write('Checked properties:\n\n')
+        for name, needle, ok in checks:
+            f.write(f"- {'PASS' if ok else 'FAIL'} `{name}`: {needle}\n")
+        f.write('\n')
+        for name, text in sections:
+            f.write(f'## {name}\n\n```\n{text}\n```\n\n')
+    print(f'wrote {out}; {len(checks) - len(failed)}/{len(checks)} checks pass')
+    for name, needle, _ in failed:
+        print(f'FAIL {name}: {needle}')
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())
