@@ -294,6 +294,66 @@ def q_simsearch_topk(spark, sf_dir) -> DataFrame:
             .select('vec_id', F.round('cos', 4).alias('cos_sim')))
 
 
+_HEX = '0123456789abcdef'
+
+
+def q_simhash16(spark, sf_dir) -> DataFrame:
+    """16-bit SimHash over the distinct token set, built entirely from JVM
+    expressions (no python): bit k tests hex digit k//4 of md5(token)"""
+    docs = _table(spark, sf_dir, 'documents')
+    words = F.array_distinct(F.split(F.trim('text'), r'\s+'))
+    d = docs.where(F.trim('text') != '').select('doc_id', words.alias('w'))
+
+    def simhash(col):
+        total = F.lit(0)
+        for k in range(16):
+            vote = F.aggregate(
+                col, F.lit(0).cast('long'),
+                lambda acc, x: acc + (
+                    (F.floor((F.instr(F.lit(_HEX),
+                                      F.substring(F.md5(x.cast('binary')),
+                                                  k // 4 + 1, 1)) - 1)
+                             / (2 ** (k % 4))) % 2) * 2 - 1))
+            total = total + F.when(vote >= 0, F.lit(2 ** k)).otherwise(0)
+        return total
+
+    return d.select('doc_id', simhash(F.col('w')).cast('long')
+                    .alias('simhash16'))
+
+
+def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """embedding-cosine near-dup candidates: adjacent-id pairs scored with a
+    double dot product, integer-scaled for exact cross-engine compare"""
+    emb = _table(spark, sf_dir, 'embeddings')
+    vec = emb.select('vec_id', F.transform('embedding',
+                                           lambda x: x.cast('double'))
+                     .alias('v'))
+    a, b = vec.alias('a'), vec.alias('b')
+    pairs = a.join(b, F.col('a.vec_id') + 1 == F.col('b.vec_id'))
+    dot = F.aggregate(F.zip_with('a.v', 'b.v', lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda p, x: p + x))
+    cos = dot / (nrm('a.v') * nrm('b.v'))
+    return pairs.select(F.col('a.vec_id').alias('id_a'),
+                        F.col('b.vec_id').alias('id_b'),
+                        F.round(cos, 4).alias('cos_sim'),
+                        (cos > 0.2).alias('near_dup'))
+
+
+def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
+    """LSH-bucketed approximate top-k (the scale path for similarity
+    search): random-hyperplane signatures + Hamming<=1 probes + exact rerank.
+    No SQL oracle (rows-only check); recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    from pyxml_spark.pipeline.similarity import (as_double_vec, lsh_topk)
+    emb = _table(spark, sf_dir, 'embeddings')
+    vec = as_double_vec(emb).select('vec_id', 'v')
+    q = vec.where(F.col('vec_id') == 0).select(F.col('v').alias('q'))
+    out = lsh_topk(vec, q, k=10, n_planes=6)
+    return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
+
+
 def q_join_rollup(spark, sf_dir) -> DataFrame:
     """TPC-H-flavored join + decimal-exact aggregation (broadcast the dim)"""
     li = _table(spark, sf_dir, 'lineitem')
@@ -355,7 +415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'fingerprint_shingle': q_fingerprint_shingle,
         'minhash_band': q_minhash_band,
         'ngram_jaccard_pairs': q_ngram_jaccard_pairs,
+        'simhash16': q_simhash16,
+        'embedding_near_dup': q_embedding_near_dup,
         'simsearch_topk': q_simsearch_topk,
+        'ann_lsh_topk': q_ann_lsh_topk,
         'join_rollup': q_join_rollup,
         'events_rollup': q_events_rollup,
         'ordered_turns': q_ordered_turns,
@@ -497,6 +560,43 @@ def oracle_sql() -> dict[str, str]:
                              / len(list_distinct(list_concat(a.w, b.w))))
                         END AS BIGINT) AS jaccard_x10k
             FROM w a JOIN w b ON a.doc_id * 2 = b.doc_id""",
+        'simhash16': """
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(trim(text),
+                                                           '\\s+')) AS w
+                FROM documents WHERE trim(text) <> '')
+            SELECT doc_id,
+                   CAST(CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) // 1) % 2) * 2 - 1)) >= 0 THEN 1 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) // 2) % 2) * 2 - 1)) >= 0 THEN 2 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) // 4) % 2) * 2 - 1)) >= 0 THEN 4 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) // 8) % 2) * 2 - 1)) >= 0 THEN 8 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) // 1) % 2) * 2 - 1)) >= 0 THEN 16 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) // 2) % 2) * 2 - 1)) >= 0 THEN 32 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) // 4) % 2) * 2 - 1)) >= 0 THEN 64 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) // 8) % 2) * 2 - 1)) >= 0 THEN 128 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 3, 1)) - 1) // 1) % 2) * 2 - 1)) >= 0 THEN 256 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 3, 1)) - 1) // 2) % 2) * 2 - 1)) >= 0 THEN 512 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 3, 1)) - 1) // 4) % 2) * 2 - 1)) >= 0 THEN 1024 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 3, 1)) - 1) // 8) % 2) * 2 - 1)) >= 0 THEN 2048 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 4, 1)) - 1) // 1) % 2) * 2 - 1)) >= 0 THEN 4096 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 4, 1)) - 1) // 2) % 2) * 2 - 1)) >= 0 THEN 8192 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 4, 1)) - 1) // 4) % 2) * 2 - 1)) >= 0 THEN 16384 ELSE 0 END
+                   + CASE WHEN list_sum(list_transform(w, x -> (((strpos('0123456789abcdef', substr(md5(x), 4, 1)) - 1) // 8) % 2) * 2 - 1)) >= 0 THEN 32768 ELSE 0 END AS BIGINT) AS simhash16
+            FROM t""",
+        'embedding_near_dup': """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_inner_product(a.v, b.v)
+                         / (sqrt(list_inner_product(a.v, a.v))
+                            * sqrt(list_inner_product(b.v, b.v))), 4)
+                       AS cos_sim,
+                   (list_inner_product(a.v, b.v)
+                    / (sqrt(list_inner_product(a.v, a.v))
+                       * sqrt(list_inner_product(b.v, b.v))) > 0.2)
+                       AS near_dup
+            FROM v a JOIN v b ON a.vec_id + 1 = b.vec_id""",
         'simsearch_topk': """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),
