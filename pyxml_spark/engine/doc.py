@@ -29,7 +29,10 @@ class Element:
 
     def __init__(self, tag, attrib: Optional[Dict[str, str]] = None, **extra):
         self.tag = tag
-        self.attrib: Dict[str, str] = {**(attrib or {}), **extra}
+        if extra:
+            self.attrib = {**(attrib or {}), **extra}
+        else:
+            self.attrib = dict(attrib) if attrib else {}
         self.parent: Optional['Element'] = None
         self.children: List['Element'] = []
         self.text: Optional[str] = None

@@ -99,20 +99,21 @@ class EventPump:
         closed = False
         bare: List[str] = []
         attrs: Dict[str, str] = {}
+        scan = self.scanner.scan
+        enc = self.encoding
         while True:
-            ev = self.scanner.scan()
+            ev = scan()
             if ev is None or ev[0] == E_GT:
                 break
             kind = ev[0]
-            value = self._decode(ev[1])
             if kind == E_SELF:
                 closed = True
                 break
             elif kind == E_ANAME:
-                bare.append(value)
+                bare.append(ev[1].decode(enc))
                 continue
             elif kind == E_AVAL:
-                attrs[bare.pop()] = unescape(value)
+                attrs[bare.pop()] = unescape(ev[1].decode(enc))
                 continue
             elif self.fix_broken and kind == E_OPEN:
                 self._stash = ev
@@ -143,7 +144,8 @@ class EventPump:
         if ev is None:
             return False
         kind = ev[0]
-        value = self._decode(ev[1])
+        raw = ev[1]
+        value = raw.decode(self.encoding) if raw else ''
         if kind == E_OPEN:
             self._open_tag(value)
         elif kind == E_TEXT:

@@ -299,23 +299,18 @@ class Scanner:
     # ----------------------------------------------------------------- scan
 
     def scan(self) -> Optional[ScanEvent]:
-        """produce the next event, or None once the stream ends"""
+        """produce the next event, or None once the stream ends.
+
+        The byte loop is inlined (locals for data/cursor/counters, synced to
+        ``self`` around helper calls) — this is the hottest loop in the
+        engine; semantics match lexer.py:207-243 + guess_token
+        (lexer.py:178-197) + the BaseLexer.next empty-UNDEFINED stream end
+        (_tokenize.py:125-135) exactly."""
         if self._pending is not None:
             ev = self._pending
             self._pending = None
             self.prev = ev[0]
             return ev
-        ev = self._scan_one()
-        if ev[0] == E_NONE and not ev[1]:
-            return None
-        self.prev = ev[0]
-        return ev
-
-    def _scan_one(self) -> ScanEvent:
-        """one raw event. The byte loop is inlined (locals for data/cursor/
-        counters, synced to ``self`` around helper calls) — this is the
-        hottest loop in the engine; semantics match lexer.py:207-243 +
-        guess_token (lexer.py:178-197) exactly."""
         data, n = self.data, self.n
         i, line, col = self.i, self.line, self.col
         prev = self.prev
@@ -421,4 +416,7 @@ class Scanner:
             self._read_instruction(val)
         elif kind in (E_GT, E_SELF, E_NONE):
             pass
+        if kind == E_NONE and not val:
+            return None
+        self.prev = kind
         return (kind, val, line0, col0, start, self.i)

@@ -146,8 +146,9 @@ def _gather(root) -> Tuple[List[_Fragment], List[bool], int]:
     return fragments, block_boiler, n_nodes
 
 
-def score_blocks(root, config: ExtractConfig = ExtractConfig()) -> List[_Block]:
-    """aggregate fragments into scored blocks (document order)"""
+def score_blocks(root, config: ExtractConfig = ExtractConfig()):
+    """aggregate fragments into scored blocks (document order); returns
+    (blocks, n_nodes) — the node count falls out of the same walk"""
     fragments, block_boiler, n_nodes = _gather(root)
     order: List[int] = []
     texts = {}
@@ -172,13 +173,13 @@ def score_blocks(root, config: ExtractConfig = ExtractConfig()) -> List[_Block]:
         blocks.append(_Block(bid, text, len(text), links[bid],
                              block_boiler[bid] if bid < len(block_boiler)
                              else False, spans[bid]))
-    return blocks
+    return blocks, n_nodes
 
 
 def extract_main(root, config: ExtractConfig = ExtractConfig(),
                  count_nodes: bool = True) -> Extraction:
     """main-content text + spans from a parsed DOM"""
-    blocks = score_blocks(root, config)
+    blocks, n_nodes = score_blocks(root, config)
     kept_texts: List[str] = []
     kept_spans: List[Span] = []
     total_chars = 0
@@ -192,6 +193,5 @@ def extract_main(root, config: ExtractConfig = ExtractConfig(),
             continue
         kept_texts.append(blk.text)
         kept_spans.extend(blk.spans)
-    n_nodes = sum(1 for _ in root.iter()) if count_nodes else 0
     return Extraction(config.join_blocks_with.join(kept_texts), kept_spans,
-                      n_nodes, total_chars)
+                      n_nodes if count_nodes else 0, total_chars)
