@@ -294,6 +294,71 @@ def q_simsearch_topk(spark, sf_dir) -> DataFrame:
             .select('vec_id', F.round('cos', 4).alias('cos_sim')))
 
 
+_SPAN_SCHEMA = StructType([
+    StructField('doc_id', LongType()),
+    StructField('span_start', IntegerType()),
+    StructField('span_end', IntegerType()),
+])
+
+
+def _span_batches(batches):
+    from pyxml_spark.pipeline.extract import extract_payload
+    for pdf in batches:
+        starts, ends = [], []
+        for t in pdf['payload']:
+            r = extract_payload(t)
+            if r['spans']:
+                starts.append(r['spans'][0][0])
+                ends.append(r['spans'][0][1])
+            else:
+                starts.append(-1)
+                ends.append(-1)
+        yield pd.DataFrame({'doc_id': pdf['doc_id'].values,
+                            'span_start': starts, 'span_end': ends})
+
+
+def q_extract_spans(spark, sf_dir) -> DataFrame:
+    """char-span offsets into the raw payload: for the wrapped shell the kept
+    block's first span must start exactly after the 25-byte prefix and end at
+    25+len(text) (documents are ASCII, so bytes == chars)"""
+    docs = _table(spark, sf_dir, 'documents')
+    src = docs.select('doc_id', _wrap_html(F.col('text')).alias('payload'))
+    out = src.mapInPandas(_span_batches, schema=_SPAN_SCHEMA)
+    return out.select('doc_id', F.col('span_start').cast('long'),
+                      F.col('span_end').cast('long'))
+
+
+_ATTR_SCHEMA = StructType([
+    StructField('doc_id', LongType()),
+    StructField('cls', StringType()),
+])
+
+
+def _attr_batches(batches):
+    from pyxml_spark.engine.html import fromstring
+    from pyxml_spark.engine.xq import compile_path, run_steps
+    prog = compile_path('//p[@class]/@class')
+    for pdf in batches:
+        vals = []
+        for payload in pdf['payload']:
+            root = fromstring(payload.encode())
+            hits = run_steps(prog, (root,))
+            vals.append(hits[0] if hits else None)
+        yield pd.DataFrame({'doc_id': pdf['doc_id'].values, 'cls': vals})
+
+
+def q_xpath_attr_extract(spark, sf_dir) -> DataFrame:
+    """xpath attribute getter: //p[@class]/@class over a constructed payload
+    whose class is k(doc_id % 7)"""
+    docs = _table(spark, sf_dir, 'documents')
+    payload = F.concat(
+        F.lit('<div><p>plain</p><p class="k'),
+        (F.col('doc_id') % 7).cast('string'),
+        F.lit('">styled</p></div>'))
+    src = docs.select('doc_id', payload.alias('payload'))
+    return src.mapInPandas(_attr_batches, schema=_ATTR_SCHEMA)
+
+
 _HEX = '0123456789abcdef'
 
 
@@ -402,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_documents': q_extract_documents,
         'extract_html_wrapped': q_extract_html_wrapped,
         'xpath_count': q_xpath_count,
+        'xpath_attr_extract': q_xpath_attr_extract,
+        'extract_spans': q_extract_spans,
         'serialize_roundtrip': q_serialize_roundtrip,
         'escape_attrib': q_escape_attrib,
         'escape_unescape_identity': q_escape_unescape_identity,
@@ -468,6 +535,22 @@ def oracle_sql() -> dict[str, str]:
         'xpath_count': """
             SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS n_p
             FROM documents""",
+        'xpath_attr_extract': """
+            SELECT doc_id, 'k' || CAST(doc_id % 7 AS VARCHAR) AS cls
+            FROM documents""",
+        'extract_spans': """
+            WITH t AS (SELECT doc_id,
+                              length(trim(regexp_replace(text,
+                                  '[ 	
+]+', ' ', 'g'))) AS nlen,
+                              length(text) AS tlen
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN nlen >= 10 THEN 24 ELSE -1 END AS BIGINT)
+                       AS span_start,
+                   CAST(CASE WHEN nlen >= 10 THEN 24 + tlen ELSE -1 END
+                        AS BIGINT) AS span_end
+            FROM t""",
         'serialize_roundtrip': f"""
             SELECT doc_id,
                    CASE WHEN text IS NULL OR text = '' THEN {wrapped_empty}
