@@ -22,7 +22,8 @@ from .heuristics import ExtractConfig
 from .schema import EXTRACTION_SCHEMA, TRANSCRIPTS_SCHEMA
 
 __all__ = ['read_transcripts_stream', 'extract_stream',
-           'conversation_rollup_stream', 'run_file_stream']
+           'conversation_rollup_stream', 'conversation_progress_stream',
+           'run_file_stream']
 
 
 def read_transcripts_stream(spark: SparkSession, path: str,
@@ -53,6 +54,39 @@ def conversation_rollup_stream(stream: DataFrame,
             .groupBy(F.window('ts', window), F.col('conv_id'))
             .agg(F.count('*').alias('n_turns'),
                  F.sum(F.length('text')).alias('chars_in')))
+
+
+def conversation_progress_stream(stream: DataFrame,
+                                 timeout_minutes: int = 30) -> DataFrame:
+    """custom stateful streaming operator via applyInPandasWithState: tracks
+    per-conversation running turn count + extracted char total across
+    micro-batches (the streaming analog of the batch metrics rollup).
+
+    State schema: (n_turns long, chars long); emits one row per conversation
+    per micro-batch with the running totals.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ('conv_id string, n_turns long, main_chars long')
+    state_schema = 'n_turns long, main_chars long'
+
+    def update(key, pdfs, state):
+        from pyxml_spark.pipeline.extract import extract_payload
+        n_turns, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            for text in pdf['text']:
+                chars += len(extract_payload(text)['main_text'])
+        state.update((n_turns, chars))
+        yield pd.DataFrame({'conv_id': [key[0]], 'n_turns': [n_turns],
+                            'main_chars': [chars]})
+
+    return (stream.select('conv_id', 'turn_idx', 'text')
+            .groupBy('conv_id')
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    'update',
+                                    GroupStateTimeout.NoTimeout))
 
 
 def run_file_stream(spark: SparkSession, input_path: str, output_path: str,

@@ -105,3 +105,31 @@ def test_media_decoder_registry_is_swappable():
     finally:
         mm.DECODERS.clear()
         mm.DECODERS.update(old)
+
+
+def test_stateful_progress_stream(spark, tmp_path):
+    """applyInPandasWithState custom operator: running per-conversation
+    totals accumulate across micro-batches"""
+    import os
+    from pyxml_spark.pipeline import TRANSCRIPTS_SCHEMA, gen_transcripts_pdf
+    from pyxml_spark.pipeline.streaming import (conversation_progress_stream,
+                                                read_transcripts_stream)
+    pdf = gen_transcripts_pdf(150, seed=11)
+    inp = os.path.join(tmp_path, 'in3')
+    spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA) \
+        .repartition(3).write.parquet(inp)
+    prog = conversation_progress_stream(
+        read_transcripts_stream(spark, inp, max_files_per_trigger=1))
+    q = (prog.writeStream.format('memory').queryName('prog_test')
+         .outputMode('update')
+         .option('checkpointLocation', os.path.join(tmp_path, 'ckpt3'))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    # last emitted row per conversation = final running totals
+    rows = spark.sql(
+        'select conv_id, max(n_turns) as n_turns from prog_test '
+        'group by conv_id').collect()
+    want = pdf.groupby('conv_id').size().to_dict()
+    got = {r.conv_id: r.n_turns for r in rows}
+    assert got == want
