@@ -64,13 +64,19 @@ def run_with_resume(spark: SparkSession,
 
     pending = turns.join(F.broadcast(done), on='bucket', how='left_anti')
     if max_buckets is not None:
-        take = [r.bucket for r in
-                pending.select('bucket').distinct()
-                .orderBy('bucket').limit(max_buckets).collect()]
-        if not take:
+        processed = [r.bucket for r in
+                     pending.select('bucket').distinct()
+                     .orderBy('bucket').limit(max_buckets).collect()]
+        if not processed:
             return dict(run_id=run_id, buckets_done=n_done, buckets_run=0,
                         remaining=0, rows_out=0, wall_seconds=0.0)
-        pending = pending.where(F.col('bucket').isin(take))
+        pending = pending.where(F.col('bucket').isin(processed))
+    else:
+        processed = [r.bucket for r in
+                     pending.select('bucket').distinct().collect()]
+        if not processed:
+            return dict(run_id=run_id, buckets_done=n_done, buckets_run=0,
+                        remaining=0, rows_out=0, wall_seconds=0.0)
 
     # keep the bucket column alongside the extraction output for the
     # partitioned write: extract on (conv_id, turn_idx, text), re-attach
@@ -81,9 +87,13 @@ def run_with_resume(spark: SparkSession,
 
     out.write.mode('overwrite').partitionBy('bucket').parquet(output_path)
 
-    # post-commit metrics per bucket -> manifest (lineage = input ref)
+    # post-commit metrics per bucket -> manifest (lineage = input ref).
+    # Restrict to the buckets THIS run actually processed: the output dir may
+    # also hold half-written buckets from a crashed earlier run (present in
+    # data, absent from the manifest); those must stay un-manifested so a
+    # later run redoes them.
     written = spark.read.parquet(output_path)
-    fresh = written.join(F.broadcast(done), on='bucket', how='left_anti')
+    fresh = written.where(F.col('bucket').isin(processed))
     stats = (fresh.groupBy('bucket').agg(
         F.count('*').alias('rows_out'),
         F.sum(F.length('main_text')).alias('bytes_out'),

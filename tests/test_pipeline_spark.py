@@ -132,3 +132,48 @@ def test_metrics_report(spark, turns_pdf):
     assert m['rows_out'] == 100
     rep = per_conversation_report(out).collect()
     assert sum(r.n_turns for r in rep) == 100
+
+
+def test_resume_ignores_crashed_partial_bucket(spark, turns_pdf, tmp_path):
+    """a bucket present in the output dir but absent from the manifest (a
+    crashed run's partial write) must not be marked done by a later run that
+    didn't process it, and must be redone (overwritten) eventually"""
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline import (TRANSCRIPTS_SCHEMA, run_with_resume,
+                                      with_bucket)
+    inp = os.path.join(tmp_path, 'in.parquet')
+    out = os.path.join(tmp_path, 'out.parquet')
+    mf = os.path.join(tmp_path, 'manifest.parquet')
+    df = spark.createDataFrame(turns_pdf, schema=TRANSCRIPTS_SCHEMA)
+    df.write.parquet(inp)
+    all_buckets = sorted(r.bucket for r in with_bucket(
+        df, 8).select('bucket').distinct().collect())
+    crashed = all_buckets[-1]
+
+    # run 1 completes the two smallest buckets
+    r1 = run_with_resume(spark, inp, out, mf, n_buckets=8, max_buckets=2)
+    assert r1['buckets_run'] == 2
+
+    # simulate a crashed run: partial garbage rows for the largest bucket,
+    # written to the data dir with NO manifest entry
+    garbage = spark.createDataFrame(
+        [('conv-zzz', 999, 'PARTIAL', [], None, 1, 1, crashed)],
+        'conv_id string, turn_idx int, main_text string, '
+        'spans array<struct<start:int,end:int>>, parse_error string, '
+        'n_nodes int, n_text_chars int, bucket int')
+    garbage.write.mode('append').partitionBy('bucket').parquet(out)
+
+    # run 2 processes two more (smallest pending) buckets - not the crashed
+    r2 = run_with_resume(spark, inp, out, mf, n_buckets=8, max_buckets=2)
+    assert r2['buckets_run'] == 2
+    manifest = spark.read.parquet(mf)
+    assert manifest.where(F.col('bucket') == crashed).count() == 0, \
+        'crashed bucket must not be manifested by an unrelated run'
+
+    # finishing runs redo the crashed bucket; its garbage is overwritten
+    run_with_resume(spark, inp, out, mf, n_buckets=8)
+    result = spark.read.parquet(out)
+    assert result.where(F.col('main_text') == 'PARTIAL').count() == 0
+    assert result.count() == len(turns_pdf)
+    assert (result.groupBy('conv_id', 'turn_idx').count()
+            .where('count > 1').count()) == 0
