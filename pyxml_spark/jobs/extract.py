@@ -73,10 +73,12 @@ def main(argv=None) -> int:
             n_buckets=args.buckets, max_buckets=args.max_buckets,
             salt=args.salt)
         metrics = output_metrics(spark.read.parquet(output))
+        # keep the whole-output totals and this run's contribution distinct
+        metrics['rows_this_run'] = result.pop('rows_out')
         metrics.update(result)
         metrics['wall_seconds'] = round(time.time() - t0, 3)
         metrics['throughput_rows_per_s'] = round(
-            metrics['rows_out'] / max(metrics['wall_seconds'], 1e-9), 1)
+            metrics['rows_this_run'] / max(metrics['wall_seconds'], 1e-9), 1)
         print(json.dumps(metrics))
         return 0
     finally:
