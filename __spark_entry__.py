@@ -126,6 +126,24 @@ def q_xpath_count(spark, sf_dir) -> DataFrame:
     return out.select('doc_id', F.col('n_p').cast('long').alias('n_p'))
 
 
+def q_node_table_stats(spark, sf_dir) -> DataFrame:
+    """exploded DOM node table (relational xpath face): per-doc p-count via
+    GROUP BY over node rows; structure is constructed so the oracle is
+    arithmetic (doc_id%5+1 p's under one div, depth 1)"""
+    from pyxml_spark.pipeline.nodes import explode_documents
+    docs = _table(spark, sf_dir, 'documents')
+    payload = F.concat(
+        F.lit('<div>'),
+        F.repeat(F.lit('<p>x</p>'), (F.col('doc_id') % 5 + 1).cast('int')),
+        F.lit('</div>'))
+    src = docs.select('doc_id', payload.alias('payload'))
+    nodes = explode_documents(src)
+    return (nodes.groupBy('doc_id').agg(
+        F.count('*').alias('n_nodes'),
+        F.sum(F.when(F.col('tag') == 'p', 1).otherwise(0)).alias('n_p'),
+        F.max('depth').cast('long').alias('max_depth')))
+
+
 def q_serialize_roundtrip(spark, sf_dir) -> DataFrame:
     """parse -> tostring(html); expected bytes have a closed form"""
     docs = _table(spark, sf_dir, 'documents')
@@ -469,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'xpath_count': q_xpath_count,
         'xpath_attr_extract': q_xpath_attr_extract,
         'extract_spans': q_extract_spans,
+        'node_table_stats': q_node_table_stats,
         'serialize_roundtrip': q_serialize_roundtrip,
         'escape_attrib': q_escape_attrib,
         'escape_unescape_identity': q_escape_unescape_identity,
@@ -551,6 +570,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN nlen >= 10 THEN 24 + tlen ELSE -1 END
                         AS BIGINT) AS span_end
             FROM t""",
+        'node_table_stats': """
+            SELECT doc_id,
+                   CAST(doc_id % 5 + 2 AS BIGINT) AS n_nodes,
+                   CAST(doc_id % 5 + 1 AS BIGINT) AS n_p,
+                   CAST(1 AS BIGINT) AS max_depth
+            FROM documents""",
         'serialize_roundtrip': f"""
             SELECT doc_id,
                    CASE WHEN text IS NULL OR text = '' THEN {wrapped_empty}
