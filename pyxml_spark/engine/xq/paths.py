@@ -216,8 +216,18 @@ def lex_path(path: bytes) -> List[PathStep]:
     cur = _PCursor(path)
     steps = []
     while True:
+        before = (cur.i, cur.n)
         step = _lex_step(cur)
         if step is None:
             break
         steps.append(step)
+        if (cur.i, cur.n) == before:
+            # zero-progress step (e.g. a bare space re-lexed into an empty
+            # EXPRESSION): the reference's lazy pipeline would produce this
+            # token forever, but evaluation always terminates at the first
+            # one (IndexError on the empty arg list, or the
+            # traverse-after-expression/pure-mode ValueError), so emitting
+            # it once is observably identical (engine.py:117-151,
+            # functions.py:69-84).
+            break
     return steps

@@ -117,6 +117,63 @@ def test_fuzz_serialize_parity(payload):
     assert ref == mine, payload
 
 
+PATH_CHUNKS = st.sampled_from([
+    '/', '//', '.', '..', '*', 'p', 'a', 'span', 'div', 'article', 'em',
+    '[1]', '[2]', '[@class]', '[@href]', '[last()]', '[position() > 0]',
+    '[contains(@class, "message")]', '[not(false)]', '[name()="p"]',
+    'text()', '@class', 'position()', 'name()', 'count(p)',
+    'upper-case(text())', 'substring(text(), 0, 3)',
+    '[starts-with(@class, "m")]', '[1 < 2]', '[@class="p1"]',
+    'contains(text(), "a")', '[count(p) = 0]', ' ', '[', ']', '(', ')',
+    '"x"', '=',
+])
+
+
+_XPATH_ROOTS = None
+
+
+def _xpath_roots():
+    global _XPATH_ROOTS
+    if _XPATH_ROOTS is None:
+        import pyxml
+        from pyxml_spark import engine as eng
+        from tests.conftest import XPATH_DOC
+        _XPATH_ROOTS = (pyxml.fromstring(XPATH_DOC),
+                        eng.fromstring(XPATH_DOC))
+    return _XPATH_ROOTS
+
+
+@settings(max_examples=250, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(PATH_CHUNKS, min_size=1, max_size=4).map(''.join))
+def test_fuzz_xpath_parity(path):
+    """random path strings over the xpath fixture doc: results (elements by
+    shape, values verbatim) and errors (by type) must match the reference"""
+    from pyxml.xpath import findall as ref_findall
+
+    from pyxml_spark.engine.xq import findall as my_findall
+
+    ref_root, my_root = _xpath_roots()
+
+    def norm(values):
+        out = []
+        for v in values:
+            if hasattr(v, 'attrib'):
+                tag = v.tag if isinstance(v.tag, str) else type(v).__name__
+                out.append(('E', tag, v.text, dict(v.attrib)))
+            else:
+                out.append(('V', v))
+        return out
+
+    def run(fn, root):
+        try:
+            return ('ok', norm(fn(root, path)))
+        except Exception as exc:  # noqa: BLE001
+            return ('err', type(exc).__name__)
+
+    assert run(ref_findall, ref_root) == run(my_findall, my_root), path
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.lists(st.sampled_from(
     list('abc &<>"\'\r\n\t#;xX019') + ['&amp;', '&#xe9;', '&#65;', '&#zz;',
