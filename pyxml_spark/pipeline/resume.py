@@ -101,10 +101,13 @@ def run_with_resume(spark: SparkSession,
               .otherwise(0)).alias('parse_errors'))
         .collect())
     wall = time.time() - t0
-    in_counts = {r.bucket: (r.rows_in, r.bytes_in) for r in
-                 pending.groupBy('bucket').agg(
-                     F.count('*').alias('rows_in'),
-                     F.sum(F.length('text')).alias('bytes_in')).collect()}
+    # one column-pruned pass over the input covers both the per-bucket
+    # input lineage stats and the remaining-bucket count (at most n_buckets
+    # rows reach the driver; the big table is never collected)
+    in_stats = (turns.groupBy('bucket').agg(
+        F.count('*').alias('rows_in'),
+        F.sum(F.length('text')).alias('bytes_in')).collect())
+    in_counts = {r.bucket: (r.rows_in, r.bytes_in) for r in in_stats}
     rows = [(int(s.bucket), 'done',
              int(in_counts.get(s.bucket, (0, 0))[0]),
              int(s.rows_out),
@@ -115,8 +118,7 @@ def run_with_resume(spark: SparkSession,
         spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
             'append').parquet(manifest_path)
 
-    remaining = (turns.select('bucket').distinct().count()
-                 - n_done - len(rows))
+    remaining = len(in_stats) - n_done - len(rows)
     return dict(run_id=run_id, buckets_done=n_done, buckets_run=len(rows),
                 remaining=max(remaining, 0),
                 rows_out=sum(r[3] for r in rows), wall_seconds=wall)
