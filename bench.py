@@ -52,6 +52,8 @@ def build_session(cpus: int):
             .config('spark.sql.adaptive.enabled', 'true')
             .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
             .config('spark.sql.execution.arrow.maxRecordsPerBatch', '16384')
+            .config('spark.sql.execution.arrow.maxBytesPerBatch',
+                    str(64 * 1024 * 1024))
             .config('spark.ui.enabled', 'false')
             .config('spark.driver.memory',
                     os.environ.get('SPARK_DRIVER_MEMORY', '8g'))

@@ -27,6 +27,8 @@ def build_session(cpus: int, app: str = 'pyxml-spark-extract'):
             .config('spark.sql.adaptive.enabled', 'true')
             .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
             .config('spark.sql.execution.arrow.maxRecordsPerBatch', '16384')
+            .config('spark.sql.execution.arrow.maxBytesPerBatch',
+                    str(64 * 1024 * 1024))
             .config('spark.ui.enabled', 'false')
             .getOrCreate())
 
