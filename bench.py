@@ -34,7 +34,7 @@ def sf_from_dir(sf_dir: str) -> float:
 def transcripts_path(spark, sf: float) -> str:
     """cached deterministic transcripts parquet for this sf"""
     rows = max(int(10_000_000 * sf), 20_000)
-    path = os.path.join(BENCH_TMP, f'transcripts_sf{sf}_{rows}.parquet')
+    path = os.path.join(BENCH_TMP, f'transcripts_v2_sf{sf}_{rows}.parquet')
     marker = os.path.join(path, '_SUCCESS')
     if not os.path.exists(marker):
         from pyxml_spark.pipeline.transcripts import write_transcripts

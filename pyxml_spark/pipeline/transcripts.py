@@ -59,8 +59,15 @@ def gen_payload(rng: random.Random) -> str:
         return (f'<div>{_sentence(rng, 6)} &amp; {_sentence(rng, 3)}'
                 f' &#233; &lt;tag&gt;<br><img src="i.png">'
                 f'<p>{_sentence(rng, 12)}</p></div>')
-    if roll < 0.94:  # multi-root fragment
+    if roll < 0.92:  # multi-root fragment
         return (f'<p>{_sentence(rng, 8)}</p><p>{_sentence(rng, 9)}</p>')
+    if roll < 0.96:  # tool-ish payload: fenced code / json-ish block
+        if rng.random() < 0.5:
+            return (f'<pre><code>def f(x):\n    return x &lt; '
+                    f'{rng.randint(1, 99)}\n</code></pre>'
+                    f'<p>{_sentence(rng, 12)}</p>')
+        return ('{"result": "' + _sentence(rng, 4) + '", "items": ['
+                + ', '.join(str(rng.randint(0, 99)) for _ in range(4)) + ']}')
     # xml-ish with declaration and attributes
     return (f'<?xml version="1.0" encoding="utf-8"?>'
             f'<doc id="{rng.randint(1, 999)}" flag>'
