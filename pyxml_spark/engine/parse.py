@@ -85,9 +85,6 @@ class EventPump:
         self.track_spans = track_spans
         self._stash: Optional[ScanEvent] = None
 
-    def _decode(self, value: bytes) -> str:
-        return value.decode(self.encoding)
-
     def _open_tag(self, tag: str):
         """consume one tag's event run (parser.py:173-227)"""
         if tag.startswith('/'):
