@@ -21,7 +21,7 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ['as_double_vec', 'brute_force_topk', 'add_lsh_signature',
-           'lsh_topk']
+           'lsh_topk', 'build_ivf', 'ivf_topk']
 
 
 def as_double_vec(df: DataFrame, col: str = 'embedding',
@@ -76,6 +76,40 @@ def add_lsh_signature(vec_df: DataFrame, n_planes: int = 8,
         proj = _dot(F.col(col), plane)
         sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
     return vec_df.withColumn(out, sig.cast('int'))
+
+
+def build_ivf(vec_df: DataFrame, n_lists: int = 16, seed: int = 42):
+    """IVF index: KMeans coarse quantizer (Spark ML) + cluster assignment.
+
+    Returns (assigned DataFrame with a ``list_id`` column, fitted model).
+    At scale the assignment is a narrow map stage and the per-query probe
+    touches only ``n_probe/n_lists`` of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vec_df.withColumn('features', array_to_vector('v'))
+    model = KMeans(k=n_lists, seed=seed, featuresCol='features',
+                   predictionCol='list_id').fit(feats)
+    assigned = model.transform(feats).drop('features')
+    return assigned, model
+
+
+def ivf_topk(assigned: DataFrame, model, query_df: DataFrame, k: int = 10,
+             n_probe: int = 4) -> DataFrame:
+    """probe the n_probe nearest inverted lists, exact rerank within them"""
+    import numpy as np
+
+    q = query_df.first()['q']
+    centers = model.clusterCenters()
+    qv = np.asarray(q, dtype='float64')
+    dists = [float(np.linalg.norm(qv - np.asarray(c, dtype='float64')))
+             for c in centers]
+    probe = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+    cands = assigned.where(F.col('list_id').isin(probe))
+    scored = (cands.crossJoin(F.broadcast(query_df))
+              .select('vec_id', _cosine('v', 'q').alias('cos_sim')))
+    return scored.orderBy(F.desc('cos_sim'), F.asc('vec_id')).limit(k)
 
 
 def lsh_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,

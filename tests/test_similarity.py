@@ -65,3 +65,23 @@ def test_signature_deterministic(spark, vectors):
     b = {r.vec_id: r.sig for r in
          add_lsh_signature(vectors, n_planes=8).collect()}
     assert a == b
+
+
+def test_ivf_recall_vs_brute_force(spark, vectors):
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.similarity import (brute_force_topk, build_ivf,
+                                                 ivf_topk)
+    assigned, model = build_ivf(vectors, n_lists=8, seed=42)
+    assigned = assigned.cache()
+    hits = total = 0
+    for qid in (0, 7, 42):
+        q = vectors.where(F.col('vec_id') == qid).select(
+            F.col('v').alias('q'))
+        exact = {r.vec_id for r in brute_force_topk(vectors, q, 10).collect()}
+        approx = {r.vec_id for r in
+                  ivf_topk(assigned, model, q, 10, n_probe=3).collect()}
+        assert qid in approx
+        hits += len(exact & approx)
+        total += len(exact)
+    # probing 3/8 lists; random gaussians are the worst case for IVF too
+    assert hits / total >= 0.3, hits / total
