@@ -178,10 +178,14 @@ def parse_document(data,
     if isinstance(data, str):
         data = data.encode()
     empty = HTML_VOID if mode == 'html' else None
-    pump = EventPump(data, target=target, encoding=encoding,
-                     fix_broken=fix_broken, empty=empty,
-                     track_spans=track_spans)
-    return pump.run()
+    if target is None:
+        target = TreeComposer(fix_broken=fix_broken)
+    else:
+        target.fix_broken = fix_broken
+    from .pump import pump_document
+    return pump_document(data, target, encoding=encoding,
+                         fix_broken=fix_broken, empty=empty,
+                         track_spans=track_spans)
 
 
 def fromstring(text, fix_broken: bool = True, **kwargs) -> Element:
