@@ -56,13 +56,6 @@ class ExtractConfig(NamedTuple):
     join_blocks_with: str = '\n'
 
 
-class _Fragment(NamedTuple):
-    block_id: int
-    text: str
-    spans: List[Span]
-    is_link: bool
-
-
 class _Block(NamedTuple):
     block_id: int
     text: str
@@ -83,32 +76,51 @@ def _norm(text: str) -> str:
     return _WS_RX.sub(' ', text).strip()
 
 
+def _hint_boiler(attrib) -> bool:
+    hint = attrib.get('class', '') + ' ' + attrib.get('id', '')
+    return bool(_BOILER_HINT_RX.search(hint.lower()))
+
+
 def _is_boiler_elem(tag: Any, attrib) -> bool:
     if tag in BOILER_TAGS:
         return True
     if not attrib:
         return False
-    hint = attrib.get('class', '') + ' ' + attrib.get('id', '')
-    return bool(_BOILER_HINT_RX.search(hint.lower()))
+    return _hint_boiler(attrib)
 
 
-def _gather(root) -> Tuple[List[_Fragment], List[bool], int]:
+def _gather(root) -> Tuple[list, List[bool], int]:
     """document-order fragment collection (text before children, each child's
     tail after that child's subtree), tracking nearest block / link / skip /
-    boiler state without recursion."""
-    fragments: List[_Fragment] = []
+    boiler state without recursion.  Fragments are plain tuples
+    ``(block_id, text, spans, is_link)`` — this walk runs once per document
+    in the batch UDF hot path, so everything is inlined into one loop."""
+    fragments: list = []
     block_boiler: List[bool] = [False]
     n_nodes = 0
 
-    def enter(elem, block_id, in_link, in_skip, boiler):
-        nonlocal n_nodes
+    # work items: (elem, block_id, in_link, in_skip, boiler, is_tail);
+    # a tail belongs to the parent's context, not the child's
+    work = [(root, 0, False, False, False, False)]
+    pop = work.pop
+    push = work.append
+    frag = fragments.append
+    while work:
+        elem, block_id, in_link, in_skip, boiler, is_tail = pop()
+        if is_tail:
+            t = elem.tail
+            if t and not in_skip:
+                frag((block_id, t,
+                      getattr(elem, 'tail_spans', None) or [], in_link))
+            continue
         n_nodes += 1
         tag = elem.tag
         if isinstance(tag, str):
             low = tag.lower()
             if low in SKIP_TAGS:
                 in_skip = True
-            if not boiler and _is_boiler_elem(low, elem.attrib):
+            if not boiler and (low in BOILER_TAGS
+                               or (elem.attrib and _hint_boiler(elem.attrib))):
                 boiler = True
             if low == 'a':
                 in_link = True
@@ -117,32 +129,17 @@ def _gather(root) -> Tuple[List[_Fragment], List[bool], int]:
                 block_boiler.append(boiler)
             elif boiler:
                 block_boiler[block_id] = True
-        else:
-            low = None  # comment/declaration/PI: no text contribution
-        if low is not None and elem.text and not in_skip:
-            spans = getattr(elem, 'text_spans', None) or []
-            fragments.append(_Fragment(block_id, elem.text, spans, in_link))
-        return block_id, in_link, in_skip, boiler
-
-    # iterative DFS with explicit tail emission after each subtree
-    work = [('enter', root, 0, False, False, False)]
-    while work:
-        op = work.pop()
-        if op[0] == 'tail':
-            _, child, block_id, in_link, in_skip = op
-            if child.tail and not in_skip:
-                tspans = getattr(child, 'tail_spans', None) or []
-                fragments.append(_Fragment(block_id, child.tail, tspans,
-                                           in_link))
-            continue
-        _, elem, block_id, in_link, in_skip, boiler = op
-        cblock, clink, cskip, cboiler = enter(
-            elem, block_id, in_link, in_skip, boiler)
-        # push children + their tails in reverse so they pop in order;
-        # a tail belongs to the parent's context, not the child's
-        for child in reversed(elem.children):
-            work.append(('tail', child, cblock, clink, cskip))
-            work.append(('enter', child, cblock, clink, cskip, cboiler))
+            t = elem.text
+            if t and not in_skip:
+                frag((block_id, t,
+                      getattr(elem, 'text_spans', None) or [], in_link))
+        # comment/declaration/PI (non-str tag): no text contribution
+        children = elem.children
+        if children:
+            # push children + their tails in reverse so they pop in order
+            for child in reversed(children):
+                push((child, block_id, in_link, in_skip, False, True))
+                push((child, block_id, in_link, in_skip, boiler, False))
     return fragments, block_boiler, n_nodes
 
 
@@ -151,28 +148,28 @@ def score_blocks(root, config: ExtractConfig = ExtractConfig()):
     (blocks, n_nodes) — the node count falls out of the same walk"""
     fragments, block_boiler, n_nodes = _gather(root)
     order: List[int] = []
-    texts = {}
-    links = {}
-    spans = {}
-    for frag in fragments:
-        norm = _norm(frag.text)
+    agg = {}
+    sub = _WS_RX.sub
+    for block_id, text, fspans, is_link in fragments:
+        norm = sub(' ', text).strip()
         if not norm:
             continue
-        if frag.block_id not in texts:
-            order.append(frag.block_id)
-            texts[frag.block_id] = []
-            links[frag.block_id] = 0
-            spans[frag.block_id] = []
-        texts[frag.block_id].append(norm)
-        if frag.is_link:
-            links[frag.block_id] += len(norm)
-        spans[frag.block_id].extend(frag.spans)
+        entry = agg.get(block_id)
+        if entry is None:
+            order.append(block_id)
+            entry = agg[block_id] = [[], 0, []]
+        entry[0].append(norm)
+        if is_link:
+            entry[1] += len(norm)
+        entry[2].extend(fspans)
+    n_blocks = len(block_boiler)
     blocks = []
     for bid in order:
-        text = ' '.join(texts[bid])
-        blocks.append(_Block(bid, text, len(text), links[bid],
-                             block_boiler[bid] if bid < len(block_boiler)
-                             else False, spans[bid]))
+        texts, link_chars, bspans = agg[bid]
+        text = ' '.join(texts)
+        blocks.append(_Block(bid, text, len(text), link_chars,
+                             block_boiler[bid] if bid < n_blocks else False,
+                             bspans))
     return blocks, n_nodes
 
 
