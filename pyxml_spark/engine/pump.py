@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Set
 
-from .compose import TreeComposer
+from .compose import ComposeError, TreeComposer
 from .doc import Element
 from .entities import unescape
 from .scanner import (E_ANAME, E_AVAL, E_DECL, E_GT, E_NONE, E_OPEN, E_PI,
@@ -54,13 +54,126 @@ def pump_document(data: bytes,
     n = sc.n
     enc = encoding
 
-    t_data = target.data
-    t_start = target.start
-    t_startend = target.startend
-    t_end = target.end
-    t_comment = target.comment
-    t_declaration = target.declaration
-    t_pi = target.pi
+    # Composer fast path: for a fresh default TreeComposer the event sink is
+    # inlined as closures over local tree state (no per-event method chain —
+    # TreeComposer.start alone is 4 frames).  Semantics mirror compose.py
+    # line for line, including the ''-not-None text quirk (builder.py:39),
+    # fix_broken repairs (builder.py:44-58, 68-75, 97-110, 143-145) and the
+    # multi-root 'document' wrapper.  tests/test_pump_fused.py differentially
+    # fuzzes this against the unfused EventPump+TreeComposer path.
+    fast = (type(target) is TreeComposer and target.root is None
+            and target.last is None and not target.open
+            and not target.frags
+            and target.element_factory is Element
+            and not (target.insert_comments or target.insert_declares
+                     or target.insert_pis))
+    if fast:
+        c_root: Optional[Element] = None
+        c_last: Optional[Element] = None
+        c_open: list = []
+        c_frags: list = []
+        c_spans: list = []
+        c_in_tail = False
+        _new = Element.__new__
+
+        def settle():
+            # compose.TreeComposer._settle
+            nonlocal c_frags, c_spans
+            last = c_last
+            if last is None:
+                c_frags = []
+                c_spans = []
+                return
+            text = ''.join(c_frags)
+            spans = c_spans
+            if c_in_tail:
+                if last.tail:
+                    if fix_broken:
+                        last.tail += text
+                        return  # buffer deliberately kept (builder.py:47-49)
+                    raise ComposeError('Element tail already assigned')
+                last.tail = text
+                if spans:
+                    last.tail_spans = (last.tail_spans or []) + spans
+            else:
+                if last.text:
+                    if fix_broken:
+                        last.text += text
+                        return
+                    raise ComposeError('Element text already assigned')
+                last.text = text
+                if spans:
+                    last.text_spans = (last.text_spans or []) + spans
+            c_frags = []
+            c_spans = []
+
+        def do_start(tag, attrs):
+            # compose.TreeComposer.start + _adopt, element alloc inlined
+            nonlocal c_root, c_last, c_in_tail
+            settle()
+            elem = _new(Element)
+            elem.tag = tag
+            elem.attrib = attrs
+            elem.parent = None
+            elem.children = []
+            elem.text = None
+            elem.tail = None
+            elem.text_spans = None
+            elem.tail_spans = None
+            c_last = elem
+            if c_open:
+                c_open[-1].append(elem)
+            elif c_root is None:
+                c_root = elem
+            elif fix_broken:
+                shell = Element('document')
+                shell.text = '\n'
+                shell.append(c_root)
+                c_root = shell
+                c_open.insert(0, shell)
+                shell.append(elem)
+            else:
+                raise ComposeError('more than one tree present')
+            c_open.append(elem)
+            c_in_tail = False
+
+        def do_end(tag):
+            # compose.TreeComposer.end, recursion flattened to a loop
+            nonlocal c_last, c_in_tail
+            while True:
+                if not c_open:
+                    if fix_broken:
+                        return
+                    raise ComposeError(
+                        f'Unexpected End. Tree Is Empty: {tag}')
+                settle()
+                c_last = c_open.pop()
+                if c_last.tag != tag:
+                    if not fix_broken:
+                        raise ComposeError(
+                            f'End Tag Mismatch (Expected {c_last.tag}, '
+                            f'Got {tag})')
+                    deeper = False
+                    for e in c_open:
+                        if e.tag == tag:
+                            deeper = True
+                            break
+                    if deeper:
+                        continue
+                c_in_tail = True
+                return
+
+        def do_startend(tag, attrs):
+            do_start(tag, attrs)
+            do_end(tag)
+    else:
+        do_start = target.start
+        do_startend = target.startend
+        do_end = target.end
+        t_data = target.data
+        t_comment = target.comment
+        t_declaration = target.declaration
+        t_pi = target.pi
 
     i = 0
     line = 1
@@ -298,9 +411,9 @@ def pump_document(data: bytes,
                     for name in bare:
                         attrs[name] = 'true'
                     if closed or (empty and cur_tag in empty):
-                        t_startend(cur_tag, attrs)
+                        do_startend(cur_tag, attrs)
                     else:
-                        t_start(cur_tag, attrs)
+                        do_start(cur_tag, attrs)
                     in_tag = False
                 break
             prev = kind
@@ -312,7 +425,7 @@ def pump_document(data: bytes,
             # an end tag requires an immediate TAG_END (parser.py:183-190)
             if kind != E_GT:
                 raise ParseFailure('Missing Tag End', ev)
-            t_end(end_tag.lstrip('/'))
+            do_end(end_tag.lstrip('/'))
             end_tag = None
             continue
         if in_tag:
@@ -335,9 +448,9 @@ def pump_document(data: bytes,
             for name in bare:
                 attrs[name] = 'true'
             if closed or (empty and cur_tag in empty):
-                t_startend(cur_tag, attrs)
+                do_startend(cur_tag, attrs)
             else:
-                t_start(cur_tag, attrs)
+                do_start(cur_tag, attrs)
             in_tag = False
             continue
         if kind == E_OPEN:
@@ -353,19 +466,41 @@ def pump_document(data: bytes,
         if kind == E_TEXT:
             if '&' in value:
                 value = unescape(value)
-            t_data(value, (start, i) if track_spans else None)
+            if fast:
+                c_frags.append(value)
+                if track_spans:
+                    c_spans.append((start, i))
+            else:
+                t_data(value, (start, i) if track_spans else None)
         elif kind == E_REM:
-            t_comment(unescape(value) if '&' in value else value)
+            # unescape runs even when the comment is dropped — its charref
+            # errors are observable (parser.py:252-255)
+            value = unescape(value) if '&' in value else value
+            if not fast:
+                t_comment(value)
         elif kind == E_DECL:
-            t_declaration(value)
+            if not fast:
+                t_declaration(value)
         elif kind == E_PI:
             # <?xml ... encoding=X?> switches the decoder (parser.py:229-238)
             pi_target, pi_value = value.split(' ', 1)
             if pi_target == 'xml':
                 for match in _ENCODING_RX.finditer(pi_value):
                     enc = match.groups()[0].strip('\'"')
-            t_pi(pi_target, pi_value)
+            if not fast:
+                t_pi(pi_target, pi_value)
         else:
             raise ParseFailure('Unexpected Next Token', ev)
 
+    if fast:
+        # compose.TreeComposer.close
+        if c_open:
+            if not fix_broken:
+                raise ComposeError(
+                    f'Missing End Tags {[e.tag for e in c_open]}')
+            while c_open:
+                do_end(c_open[-1].tag)
+        if c_root is None:
+            raise ComposeError('Missing Toplevel Element')
+        return c_root
     return target.close()
