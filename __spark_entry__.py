@@ -437,6 +437,21 @@ def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
     return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
 
 
+def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF approximate top-k (the other scale path): Spark ML KMeans coarse
+    quantizer + probed inverted lists + exact rerank. No SQL oracle
+    (rows-only check — KMeans has no DuckDB twin); recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    from pyxml_spark.pipeline.similarity import (as_double_vec, build_ivf,
+                                                 ivf_topk)
+    emb = _table(spark, sf_dir, 'embeddings')
+    vec = as_double_vec(emb).select('vec_id', 'v')
+    q = vec.where(F.col('vec_id') == 0).select(F.col('v').alias('q'))
+    assigned, model = build_ivf(vec, n_lists=8)
+    out = ivf_topk(assigned, model, q, k=10, n_probe=3)
+    return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
+
+
 def q_join_rollup(spark, sf_dir) -> DataFrame:
     """TPC-H-flavored join + decimal-exact aggregation (broadcast the dim)"""
     li = _table(spark, sf_dir, 'lineitem')
@@ -505,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_near_dup': q_embedding_near_dup,
         'simsearch_topk': q_simsearch_topk,
         'ann_lsh_topk': q_ann_lsh_topk,
+        'ann_ivf_topk': q_ann_ivf_topk,
         'join_rollup': q_join_rollup,
         'events_rollup': q_events_rollup,
         'ordered_turns': q_ordered_turns,
