@@ -34,6 +34,23 @@ __all__ = ['extract_payload', 'extract_batches', 'extract_arrow_batches',
 FAST_PATH_MARKUP = ('<', '>')
 
 
+def _extract_row(payload: Optional[str], config: ExtractConfig) -> tuple:
+    """one turn -> (main_text, spans, parse_error, n_nodes, n_text_chars);
+    never raises — errors land in the parse_error slot (kernel hot path)"""
+    if payload is None:
+        return ('', [], 'null', 0, 0)
+    if '<' not in payload and '>' not in payload:
+        n = len(payload)
+        return (payload, [(0, n)] if n else [], None, 0, n)
+    try:
+        root = parse_document(payload.encode(), mode='html', fix_broken=True,
+                              track_spans=True)
+    except Exception as exc:  # noqa: BLE001 - per-turn containment
+        return ('', [], f'{type(exc).__name__}: {exc}', 0, 0)
+    got = extract_main(root, config)
+    return (got.main_text, got.spans, None, got.n_nodes, got.n_text_chars)
+
+
 def extract_payload(payload: Optional[str],
                     config: ExtractConfig = ExtractConfig()) -> dict:
     """extract one turn; never raises — errors land in ``parse_error``.
@@ -47,24 +64,11 @@ def extract_payload(payload: Optional[str],
     * otherwise parse (HTML mode, fix_broken) + heuristics; any engine
       exception is captured per turn as ``type: message``.
     """
-    if payload is None:
-        return dict(main_text='', spans=[], parse_error='null',
-                    n_nodes=0, n_text_chars=0)
-    if '<' not in payload and '>' not in payload:
-        n = len(payload)
-        return dict(main_text=payload, spans=[(0, n)] if n else [],
-                    parse_error=None, n_nodes=0, n_text_chars=n)
-    try:
-        root = parse_document(payload.encode(), mode='html', fix_broken=True,
-                              track_spans=True)
-    except Exception as exc:  # noqa: BLE001 - per-turn containment
-        return dict(main_text='', spans=[],
-                    parse_error=f'{type(exc).__name__}: {exc}',
-                    n_nodes=0, n_text_chars=0)
-    got = extract_main(root, config)
-    return dict(main_text=got.main_text, spans=list(got.spans),
-                parse_error=None, n_nodes=got.n_nodes,
-                n_text_chars=got.n_text_chars)
+    main_text, spans, parse_error, n_nodes, n_text_chars = _extract_row(
+        payload, config)
+    return dict(main_text=main_text, spans=list(spans),
+                parse_error=parse_error, n_nodes=n_nodes,
+                n_text_chars=n_text_chars)
 
 
 def extract_batches(batches: Iterable[pd.DataFrame],
@@ -96,8 +100,6 @@ def extract_arrow_batches(batches, config: ExtractConfig = ExtractConfig()):
     """
     import pyarrow as pa
 
-    span_type = pa.list_(pa.struct([pa.field('start', pa.int32()),
-                                    pa.field('end', pa.int32())]))
     for batch in batches:
         cols = batch.schema.names
         conv = batch.column(cols.index('conv_id'))
@@ -105,21 +107,34 @@ def extract_arrow_batches(batches, config: ExtractConfig = ExtractConfig()):
         texts = batch.column(cols.index('text')).to_pylist()
         n = len(texts)
         main_text = [None] * n
-        spans = [None] * n
         perr = [None] * n
         nodes = [0] * n
         chars = [0] * n
+        # spans go out as a ListArray built from flat offset/start/end
+        # columns — no per-span python dicts in the hot loop
+        starts: list = []
+        ends: list = []
+        offsets = [0] * (n + 1)
+        run = _extract_row
         for i, t in enumerate(texts):
-            r = extract_payload(t, config)
-            main_text[i] = r['main_text']
-            spans[i] = [{'start': s, 'end': e} for s, e in r['spans']]
-            perr[i] = r['parse_error']
-            nodes[i] = r['n_nodes']
-            chars[i] = r['n_text_chars']
+            mt, spans, pe, nn, nc = run(t, config)
+            main_text[i] = mt
+            perr[i] = pe
+            nodes[i] = nn
+            chars[i] = nc
+            for s, e in spans:
+                starts.append(s)
+                ends.append(e)
+            offsets[i + 1] = len(starts)
+        span_struct = pa.StructArray.from_arrays(
+            [pa.array(starts, pa.int32()), pa.array(ends, pa.int32())],
+            names=['start', 'end'])
+        span_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), span_struct)
         yield pa.RecordBatch.from_arrays(
             [conv, turn,
              pa.array(main_text, pa.string()),
-             pa.array(spans, span_type),
+             span_arr,
              pa.array(perr, pa.string()),
              pa.array(nodes, pa.int32()),
              pa.array(chars, pa.int32())],
