@@ -6,6 +6,7 @@ repair semantics, escape quirks, query results, serialized bytes. Used inside
 Arrow-batched Spark UDFs by :mod:`pyxml_spark.pipeline`.
 """
 from . import xq
+from .callbacks import CallbackParser
 from .compose import ComposeError, TreeComposer
 from .doc import (Comment, Declaration, Element, ProcessingInstruction,
                   prettify)
@@ -18,6 +19,7 @@ from .scanner import Scanner
 __all__ = [
     'Element', 'Comment', 'Declaration', 'ProcessingInstruction', 'prettify',
     'Scanner', 'TreeComposer', 'ComposeError', 'EventPump', 'Parser',
+    'CallbackParser',
     'ParseFailure', 'parse_document', 'fromstring', 'tostring',
     'ElementTree', 'serialize_xml', 'serialize_html',
     'escape_cdata', 'escape_attrib', 'unescape',

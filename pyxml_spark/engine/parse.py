@@ -66,7 +66,7 @@ class EventPump:
     """drives one Scanner into one TreeComposer"""
 
     __slots__ = ('scanner', 'target', 'encoding', 'fix_broken', 'empty',
-                 'track_spans', '_stash')
+                 'track_spans', 'unescape', '_stash')
 
     def __init__(self,
                  data: bytes,
@@ -74,7 +74,8 @@ class EventPump:
                  encoding: str = 'utf-8',
                  fix_broken: bool = False,
                  empty: Optional[Set[str]] = None,
-                 track_spans: bool = False):
+                 track_spans: bool = False,
+                 unescape_fn=None):
         self.scanner = Scanner(data)
         self.target = target if target is not None else TreeComposer(
             fix_broken=fix_broken)
@@ -83,6 +84,10 @@ class EventPump:
         self.fix_broken = fix_broken
         self.empty = empty
         self.track_spans = track_spans
+        # overridable like the reference Parser.unescape method
+        # (parser.py:169-171; overridden by its HTMLParser at
+        # html/parser.py:71-82) — applies to attr values, text and comments
+        self.unescape = unescape_fn if unescape_fn is not None else unescape
         self._stash: Optional[ScanEvent] = None
 
     def _open_tag(self, tag: str):
@@ -110,7 +115,7 @@ class EventPump:
                 bare.append(ev[1].decode(enc))
                 continue
             elif kind == E_AVAL:
-                attrs[bare.pop()] = unescape(ev[1].decode(enc))
+                attrs[bare.pop()] = self.unescape(ev[1].decode(enc))
                 continue
             elif self.fix_broken and kind == E_OPEN:
                 self._stash = ev
@@ -147,9 +152,9 @@ class EventPump:
             self._open_tag(value)
         elif kind == E_TEXT:
             span = (ev[4], ev[5]) if self.track_spans else None
-            self.target.data(unescape(value), span)
+            self.target.data(self.unescape(value), span)
         elif kind == E_REM:
-            self.target.comment(unescape(value))
+            self.target.comment(self.unescape(value))
         elif kind == E_DECL:
             self.target.declaration(value)
         elif kind == E_PI:

@@ -15,7 +15,8 @@ def test_queries_have_oracles():
     missing = set(oracles) - set(qs)
     assert not missing, f'oracles without queries: {missing}'
     # every query is either oracle-checked or explicitly rows-only
-    ROWS_ONLY_OK = {'ann_lsh_topk'}  # non-SQL-expressible (LSH probing)
+    # non-SQL-expressible: LSH probing / KMeans quantizer
+    ROWS_ONLY_OK = {'ann_lsh_topk', 'ann_ivf_topk'}
     rows_only = set(qs) - set(oracles)
     assert rows_only <= ROWS_ONLY_OK, \
         f'unexpected rows-only queries (add oracle or whitelist): {rows_only}'
