@@ -35,6 +35,18 @@ _LT, _GT_, _EQ, _BANG, _DASH, _QMARK, _SLASH = (
     0x3C, 0x3E, 0x3D, 0x21, 0x2D, 0x3F, 0x2F)
 _NL, _SP, _BSLASH = 0x0A, 0x20, 0x5C
 
+import re as _re  # noqa: E402
+
+#: one clean attribute pair: ws* name(len>=2, no specials/quotes) ws* = ws*
+#: quoted value with no backslash (escape processing) and no & (unescape).
+#: Anything outside this shape — 1-char names (the '=' absorption quirk),
+#: bare attributes (the name-merge quirk), unterminated or escaped values —
+#: fails the match and takes the exact state machine instead.  The ws class
+#: is the scanner's _WS set, NOT \s (\f\v are not whitespace to the lexer).
+_ATTR_PAIR_RX = _re.compile(
+    rb'[\n\r\t ]*([^\n\r\t =<>/"\x27]{2,})[\n\r\t ]*=[\n\r\t ]*'
+    rb'(?:"([^"\\&]*)"|\x27([^\x27\\&]*)\x27)')
+
 
 def pump_document(data: bytes,
                   target: TreeComposer,
@@ -208,6 +220,26 @@ def pump_document(data: bytes,
             prev = E_GT
             ev = (E_GT, b'', line0, col0, start, i_end)
         else:
+            if in_tag:
+                # clean name="value" runs bypass the event machinery; the
+                # state machine would emit ANAME then AVAL with prev=E_AVAL
+                # and identical cursor arithmetic
+                m = _ATTR_PAIR_RX.match(data, i)
+                while m is not None:
+                    v = m.group(2)
+                    if v is None:
+                        v = m.group(3)
+                    j = m.end()
+                    nl = data.count(b'\n', i, j)
+                    if nl:
+                        line += nl
+                        col = j - data.rindex(b'\n', i, j)
+                    else:
+                        col += j - i
+                    i = j
+                    attrs[m.group(1).decode(enc)] = v.decode(enc)
+                    prev = E_AVAL
+                    m = _ATTR_PAIR_RX.match(data, i)
             kind = E_NONE
             val = bytearray()
             line0, col0 = line, col

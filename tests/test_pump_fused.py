@@ -25,6 +25,9 @@ MARKUP_CHUNKS = st.sampled_from([
     'style', 'br', 'img', '<p>', '</p>', '<div ', 'class', '="v"', 'text',
     '&amp;', '&lt;', '&#65;', '&#xe9;', '<!--', '-->', '<?', '?>',
     '<!DOCTYPE', 'é', '1', '<a', '</', '<<', '>>',
+    # attribute-pair shapes around the pump's regex fast path boundary
+    'ab="v"', "cd='x'", 'a="1"', ' b ', 'ef = "w"', 'gh="a&amp;b"',
+    'ij="q\\"r"', 'kl="', '="v"', 'mn=o',
 ])
 payloads = st.lists(MARKUP_CHUNKS, min_size=0, max_size=40).map(
     lambda parts: ''.join(parts).encode())
