@@ -36,6 +36,12 @@ _ATTRIB_PAIRS = [('&', '&amp;'), ('<', '&lt;'), ('>', '&gt;'),
                  ('"', '&quot;'), (' ', '&nbsp;'), ('\r', '&#13;'),
                  ('\n', '&#10;'), ('\t', '&#09;'), ("'", '&#39;')]
 
+# layout-container geometry shared with the pdf oracle SQL
+from pyxml_spark.pipeline.layout import (BLOCKS_PER_PAGE,  # noqa: E402
+                                         CHUNK_CHARS)
+
+_PDF_CHUNK_SQL = f'(t.s - 1) * {CHUNK_CHARS} + 1'
+
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f'{name}.parquet'))
@@ -437,6 +443,39 @@ def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
     return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
 
 
+def _pdf_blocks(spark, sf_dir) -> DataFrame:
+    """documents.text -> deterministic FPDF binary payloads -> layout blocks
+    (binary-column plumbing + explode kernel, pyxml_spark.pipeline.layout)"""
+    from pyxml_spark.pipeline.layout import (LAYOUT_INPUT_SCHEMA,
+                                             parse_layout,
+                                             synth_payload_batches)
+    docs = _table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    payloads = docs.mapInArrow(synth_payload_batches,
+                               schema=LAYOUT_INPUT_SCHEMA)
+    return parse_layout(payloads)
+
+
+def q_pdf_layout_extract(spark, sf_dir) -> DataFrame:
+    """PDF/layout main-content extraction: parse binary containers to layout
+    blocks, strip running headers/page footers relationally, restore reading
+    order. Oracle: re-derive the chunk join from the source text in SQL."""
+    from pyxml_spark.pipeline.layout import extract_pdf_main
+    return (extract_pdf_main(_pdf_blocks(spark, sf_dir))
+            .select('doc_id', 'main_text', 'n_body_chars'))
+
+
+def q_pdf_blocks_stats(spark, sf_dir) -> DataFrame:
+    """per-document layout statistics straight off the exploded block table"""
+    blocks = _pdf_blocks(spark, sf_dir)
+    return (blocks.where(F.col('parse_error').isNull())
+            .groupBy('doc_id').agg(
+                (F.max('page') + 1).cast('long').alias('n_pages'),
+                F.count('*').cast('long').alias('n_blocks'),
+                F.sum(F.when(F.col('kind') == 'body',
+                             F.length('text')).otherwise(0))
+                .cast('long').alias('n_body_chars')))
+
+
 def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
     """IVF approximate top-k (the other scale path): Spark ML KMeans coarse
     quantizer + probed inverted lists + exact rerank. No SQL oracle
@@ -504,6 +543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_spans': q_extract_spans,
         'node_table_stats': q_node_table_stats,
         'serialize_roundtrip': q_serialize_roundtrip,
+        'pdf_layout_extract': q_pdf_layout_extract,
+        'pdf_blocks_stats': q_pdf_blocks_stats,
         'escape_attrib': q_escape_attrib,
         'escape_unescape_identity': q_escape_unescape_identity,
         'agg_by_source': q_agg_by_source,
@@ -597,6 +638,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN text IS NULL OR text = '' THEN {wrapped_empty}
                         ELSE {wrapped_full} END AS serialized
             FROM documents""",
+        'pdf_layout_extract': f"""
+            WITH mx AS (SELECT CAST(greatest(1, ceil(max(length(text))
+                            / {CHUNK_CHARS}.0)) AS BIGINT) AS m
+                        FROM documents),
+                 t AS (SELECT unnest(generate_series(1,
+                            (SELECT m FROM mx))) AS s)
+            SELECT d.doc_id,
+                   string_agg(substr(d.text, ({_PDF_CHUNK_SQL}),
+                              {CHUNK_CHARS}), chr(10) ORDER BY t.s)
+                       AS main_text,
+                   CAST(max(length(d.text)) AS BIGINT) AS n_body_chars
+            FROM documents d
+            JOIN t ON t.s <= greatest(1, ceil(length(d.text)
+                          / {CHUNK_CHARS}.0))
+            GROUP BY d.doc_id""",
+        'pdf_blocks_stats': f"""
+            WITH b AS (SELECT doc_id,
+                              CAST(greatest(1, ceil(length(text)
+                                   / {CHUNK_CHARS}.0)) AS BIGINT) AS nchunks,
+                              CAST(length(text) AS BIGINT) AS len
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(ceil(nchunks / {BLOCKS_PER_PAGE}.0) AS BIGINT)
+                       AS n_pages,
+                   CAST(nchunks + 2 * ceil(nchunks / {BLOCKS_PER_PAGE}.0)
+                        AS BIGINT) AS n_blocks,
+                   len AS n_body_chars
+            FROM b""",
         'escape_attrib': f"""
             SELECT event_id, {_sql_escape_attrib('props')} AS escaped
             FROM events""",
