@@ -97,6 +97,15 @@ def main() -> int:
     add('simsearch_topk', entry.q_simsearch_topk(spark, sf_dir),
         must_contain=['BroadcastNestedLoopJoin', 'TakeOrderedAndProject'])
 
+    # 7. pdf layout: two chained arrow kernels (synth + parse) and a single
+    # aggregation exchange for the per-doc rejoin — no other shuffles
+    pl_plan = plan_of(entry.q_pdf_layout_extract(spark, sf_dir))
+    sections.append(('pdf_layout_extract', pl_plan))
+    checks.append(('pdf_layout_extract', 'two arrow kernels',
+                   pl_plan.count('MapInArrow (') == 2))
+    checks.append(('pdf_layout_extract', 'single aggregate Exchange',
+                   pl_plan.count(') Exchange') == 1))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:
