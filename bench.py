@@ -91,7 +91,8 @@ def main() -> int:
         extras['turns_per_sec'] = round(rows_out / dt, 1)
 
         for name in ('extract_html_wrapped', 'xpath_count', 'minhash_band',
-                     'simsearch_topk', 'join_rollup', 'agg_by_source'):
+                     'simsearch_topk', 'join_rollup', 'agg_by_source',
+                     'pdf_layout_extract'):
             fn = entry.queries()[name]
             t0 = time.time()
             fn(spark, sf_dir).count()
