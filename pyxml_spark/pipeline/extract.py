@@ -21,9 +21,11 @@ from typing import Iterable, Iterator, Optional
 
 import pandas as pd
 
-from ..engine import parse_document
+from ..engine import parse_document  # noqa: F401 (DOM path for callers)
 from ..engine.compose import ComposeError  # noqa: F401 (re-export for callers)
-from .heuristics import ExtractConfig, extract_main
+from .gather import gather_document
+from .heuristics import (ExtractConfig, extract_main,  # noqa: F401
+                         score_fragments, select_main)
 from .schema import EXTRACTION_SCHEMA
 
 __all__ = ['extract_payload', 'extract_batches', 'extract_arrow_batches',
@@ -36,18 +38,21 @@ FAST_PATH_MARKUP = ('<', '>')
 
 def _extract_row(payload: Optional[str], config: ExtractConfig) -> tuple:
     """one turn -> (main_text, spans, parse_error, n_nodes, n_text_chars);
-    never raises — errors land in the parse_error slot (kernel hot path)"""
+    never raises — errors land in the parse_error slot (kernel hot path).
+
+    Uses the streaming gatherer (no DOM build, pipeline/gather.py) — output
+    is differentially pinned to the DOM path in tests/test_gather.py."""
     if payload is None:
         return ('', [], 'null', 0, 0)
     if '<' not in payload and '>' not in payload:
         n = len(payload)
         return (payload, [(0, n)] if n else [], None, 0, n)
     try:
-        root = parse_document(payload.encode(), mode='html', fix_broken=True,
-                              track_spans=True)
+        frags, block_boiler, n_nodes = gather_document(
+            payload.encode(), mode='html', fix_broken=True, track_spans=True)
     except Exception as exc:  # noqa: BLE001 - per-turn containment
         return ('', [], f'{type(exc).__name__}: {exc}', 0, 0)
-    got = extract_main(root, config)
+    got = select_main(score_fragments(frags, block_boiler), n_nodes, config)
     return (got.main_text, got.spans, None, got.n_nodes, got.n_text_chars)
 
 

@@ -17,7 +17,8 @@ from __future__ import annotations
 import re
 from typing import Any, List, NamedTuple, Optional, Tuple
 
-__all__ = ['ExtractConfig', 'Extraction', 'score_blocks', 'extract_main']
+__all__ = ['ExtractConfig', 'Extraction', 'score_blocks', 'score_fragments',
+           'select_main', 'extract_main']
 
 Span = Tuple[int, int]
 
@@ -147,6 +148,12 @@ def score_blocks(root, config: ExtractConfig = ExtractConfig()):
     """aggregate fragments into scored blocks (document order); returns
     (blocks, n_nodes) — the node count falls out of the same walk"""
     fragments, block_boiler, n_nodes = _gather(root)
+    return score_fragments(fragments, block_boiler), n_nodes
+
+
+def score_fragments(fragments, block_boiler):
+    """fragments (from _gather or the streaming GatherComposer) -> scored
+    blocks in document order"""
     order: List[int] = []
     agg = {}
     sub = _WS_RX.sub
@@ -170,13 +177,19 @@ def score_blocks(root, config: ExtractConfig = ExtractConfig()):
         blocks.append(_Block(bid, text, len(text), link_chars,
                              block_boiler[bid] if bid < n_blocks else False,
                              bspans))
-    return blocks, n_nodes
+    return blocks
 
 
 def extract_main(root, config: ExtractConfig = ExtractConfig(),
                  count_nodes: bool = True) -> Extraction:
     """main-content text + spans from a parsed DOM"""
     blocks, n_nodes = score_blocks(root, config)
+    return select_main(blocks, n_nodes if count_nodes else 0, config)
+
+
+def select_main(blocks, n_nodes,
+                config: ExtractConfig = ExtractConfig()) -> Extraction:
+    """scored blocks -> Extraction (shared by the DOM and streaming paths)"""
     kept_texts: List[str] = []
     kept_spans: List[Span] = []
     total_chars = 0
@@ -191,4 +204,4 @@ def extract_main(root, config: ExtractConfig = ExtractConfig(),
         kept_texts.append(blk.text)
         kept_spans.extend(blk.spans)
     return Extraction(config.join_blocks_with.join(kept_texts), kept_spans,
-                      n_nodes if count_nodes else 0, total_chars)
+                      n_nodes, total_chars)
