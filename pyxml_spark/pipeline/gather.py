@@ -79,11 +79,25 @@ class GatherComposer:
     def _settle(self):
         """mirror of compose.TreeComposer._settle against element records"""
         last = self.last
+        frags = self.frags
         if last is None:
-            self.frags = []
-            self.spans = []
+            if frags:
+                self.frags = []
+                self.spans = []
             return
-        text = ''.join(self.frags)
+        if not frags:
+            # empty-buffer settle: assignment of '' with no fragment —
+            # the common shape between adjacent structural events
+            slot = _TAIL if self.in_tail else _TEXT
+            if not last[slot]:
+                last[slot] = ''
+            elif not self.fix_broken:
+                raise ComposeError(
+                    'Element tail already assigned' if slot == _TAIL
+                    else 'Element text already assigned')
+            # fix_broken concat of '' is a no-op; buffer already empty
+            return
+        text = frags[0] if len(frags) == 1 else ''.join(frags)
         spans = self.spans
         if self.in_tail:
             if last[_TAIL]:
@@ -123,7 +137,8 @@ class GatherComposer:
 
     # ----------------------------------------------------------- event API
 
-    def start(self, tag, attrs):
+    def start(self, tag, attrs, _skip=SKIP_TAGS, _boiler=BOILER_TAGS,
+              _block=BLOCK_TAGS, _hint=_hint_boiler, _str=str):
         self._settle()
         if not self.open and self.root_seen:
             if not self.fix_broken:
@@ -154,18 +169,18 @@ class GatherComposer:
             blk, lnk, skp, boi = (parent[_BLK], parent[_LNK], parent[_SKP],
                                   parent[_BOI])
         self.n_nodes += 1
-        if isinstance(tag, str):
+        if type(tag) is _str:
             low = tag.lower()
-            if low in SKIP_TAGS:
+            if low in _skip:
                 skp = True
-            if not boi and (low in BOILER_TAGS
-                            or (attrs and _hint_boiler(attrs))):
+            if not boi and (low in _boiler or (attrs and _hint(attrs))):
                 boi = True
             if low == 'a':
                 lnk = True
-            if low in BLOCK_TAGS:
-                blk = len(self.block_boiler)
-                self.block_boiler.append(boi)
+            if low in _block:
+                bb = self.block_boiler
+                blk = len(bb)
+                bb.append(boi)
             elif boi:
                 self.block_boiler[blk] = True
         rec = [tag, None, None, blk, lnk, skp, boi, None, None]
