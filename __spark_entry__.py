@@ -280,6 +280,35 @@ def q_minhash_band(spark, sf_dir) -> DataFrame:
                     .alias('band'))
 
 
+def q_dedup_minhash_pairs(spark, sf_dir) -> DataFrame:
+    """full MinHash-LSH dedup: shingle (token set) -> minhash signatures ->
+    band key -> band bucket self-join -> exact jaccard verification of the
+    candidates. At scale the join shuffles only on band keys — candidate
+    pairs, not the n^2 cross product."""
+    docs = _table(spark, sf_dir, 'documents')
+    words = F.array_distinct(F.split(F.trim('text'), r'\s+'))
+    w = docs.where(F.trim('text') != '').select('doc_id', words.alias('w'))
+
+    def minhash(seed: int):
+        return F.array_min(F.transform(
+            F.col('w'), lambda x: F.md5(F.concat(x, F.lit(f'#{seed}'))
+                                        .cast('binary'))))
+
+    b = w.select('doc_id', 'w',
+                 F.concat(minhash(0), F.lit('|'), minhash(1)).alias('band'))
+    a, c = b.alias('a'), b.alias('c')
+    pairs = a.join(c, (F.col('a.band') == F.col('c.band'))
+                   & (F.col('a.doc_id') < F.col('c.doc_id')))
+    inter = F.size(F.array_intersect('a.w', 'c.w')).cast('long')
+    union = F.size(F.array_union('a.w', 'c.w')).cast('long')
+    jac = F.when(union == 0, F.lit(0)).otherwise(
+        F.floor(inter * 10000 / union)).cast('long')
+    return pairs.select(F.col('a.doc_id').alias('doc_a'),
+                        F.col('c.doc_id').alias('doc_b'),
+                        jac.alias('jaccard_x10k'),
+                        (jac >= 8000).alias('is_dup'))
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     """token-set jaccard between paired docs (doc i vs doc 2i), integer
     scaled x10000 — the n-gram near-dup primitive"""
@@ -556,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lang_id': q_lang_id,
         'fingerprint_shingle': q_fingerprint_shingle,
         'minhash_band': q_minhash_band,
+        'dedup_minhash_pairs': q_dedup_minhash_pairs,
         'ngram_jaccard_pairs': q_ngram_jaccard_pairs,
         'simhash16': q_simhash16,
         'embedding_near_dup': q_embedding_near_dup,
@@ -744,6 +774,27 @@ def oracle_sql() -> dict[str, str]:
                                 w -> md5(w || '#1'))) AS h1
                 FROM documents WHERE trim(text) <> '')
             SELECT doc_id, h0 || '|' || h1 AS band FROM t""",
+        'dedup_minhash_pairs': f"""
+            WITH t AS (
+                SELECT doc_id, {words} AS w,
+                       list_min(list_transform({words},
+                                x -> md5(x || '#0'))) || '|' ||
+                       list_min(list_transform({words},
+                                x -> md5(x || '#1'))) AS band
+                FROM documents WHERE trim(text) <> ''),
+            p AS (
+                SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                       len(list_intersect(a.w, c.w)) AS i,
+                       len(list_distinct(list_concat(a.w, c.w))) AS u
+                FROM t a JOIN t c
+                  ON a.band = c.band AND a.doc_id < c.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(CASE WHEN u = 0 THEN 0
+                        ELSE floor(i * 10000.0 / u) END AS BIGINT)
+                       AS jaccard_x10k,
+                   (CASE WHEN u = 0 THEN 0
+                         ELSE floor(i * 10000.0 / u) END) >= 8000 AS is_dup
+            FROM p""",
         'ngram_jaccard_pairs': f"""
             WITH w AS (SELECT doc_id, {words} AS w FROM documents)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
