@@ -17,4 +17,4 @@ SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python3 bench.py
 
 echo '== 5. scaling evidence (writes BENCH/BASELINE.md; ~15 min) =='
-python3 scripts/scaling_bench.py --rows 1000000 --reps 3
+python3 scripts/scaling_bench.py

@@ -147,6 +147,13 @@ so interleaving + best-of is required for a fair ratio.
 |---|---|---|
 {rows_tbl}
 
+Window variance note: absolute throughput swings with the VM's burst
+throttle (observed 58k-160k turns/sec at local[32] across windows the same
+day; best measured this round: **160,622 turns/sec** on 1M rows in an
+interleaved batch-size x partition sweep, which also confirmed the tuned
+defaults of arrow batch 16384 and partitions = 2*cores). Only within-window
+ratios are meaningful; the table above is one window.
+
 ## Scaling efficiency (N vs 4N, sandbox stand-in for executor counts)
 
 A single box cannot isolate job scaling from hardware scaling: raising the
@@ -178,19 +185,26 @@ the normalized number is the framework's own scaling behavior.
 ## Correctness context
 
 Per-turn text equality vs the reference-parser oracle is enforced by
-`tests/test_pipeline_spark.py::test_extraction_equality_gate` (0 mismatches;
-also verified one-off at 20k turns) plus the differential suites (token
-stream / DOM / serialize / xpath / escape parity over ~170 corpus payloads,
-1,300 hypothesis-fuzzed inputs per run, and a 12k random-xpath probe —
-tests/test_oracle_diff.py, tests/test_fuzz_parity.py).
+`tests/test_pipeline_spark.py::test_extraction_equality_gate` (0 mismatches)
+plus the differential suites (token stream / DOM / serialize / xpath /
+escape parity over ~170 corpus payloads, 1,300 hypothesis-fuzzed inputs per
+run, and a random-xpath probe — tests/test_oracle_diff.py,
+tests/test_fuzz_parity.py). One-off soaks this round, all clean: 16k random
+markup payloads x 2 modes vs the reference parser; 25k random xpaths vs the
+reference engine; 50k fresh-seed synthetic turns comparing the streaming
+extraction against heuristics over reference-parsed DOMs. The streaming
+no-DOM gather path is pinned to the DOM path by tests/test_gather.py.
 
 ## Single-node comparison vs the reference
 
 The reference publishes no numbers (BASELINE.md at repo root); measured on
-identical payload mixes in one process: our engine parses ~2.3x faster than
-the reference's byte-at-a-time lexer (~10.4k vs ~4.6k docs/s parse-only);
-full extraction (parse + DOM heuristics + spans) runs ~7.7k docs/s/core
-under throttle (~10-12k normalized).
+identical payload mixes, interleaved A/B in one process after the
+fused-pump work: our engine parses **~3.7x faster** than the reference's
+byte-at-a-time lexer (15.7k vs 4.3k docs/s; ours additionally tracks char
+spans, which the reference cannot do at all). Full extraction (parse +
+streaming heuristics + spans) runs ~11-12.5k docs/s/core under mild
+throttle — ~1.5x the first complete build of this round (4-cycle
+interleaved subprocess A/B, best-of).
 
 Config: arrow maxRecordsPerBatch=16384 capped at 64MB/batch,
 partitions=2*cores, AQE on.
