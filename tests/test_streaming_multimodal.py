@@ -84,6 +84,54 @@ def test_media_features(spark):
                 [round(w, 6) for w in want]
 
 
+def test_media_resize(spark):
+    from pyxml_spark.pipeline.multimodal import (MEDIA_SCHEMA, fake_resize,
+                                                 resize_media,
+                                                 synth_media_pdf)
+    pdf = synth_media_pdf(30, seed=42)
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_media(df, 48, 48).collect()}
+    assert len(out) == 30
+    for row in pdf.itertuples():
+        got = out[row.media_id]
+        if row.kind != 'image':
+            # pass-through with marker, payload untouched
+            assert got.resize_error and 'no resizer' in got.resize_error
+            assert got.payload == row.payload
+        elif row.payload is None:
+            assert got.resize_error is not None and got.payload is None
+        else:
+            assert got.resize_error is None
+            assert got.meta.width == 48 and got.meta.height == 48
+            assert got.meta.sample_rate == row.meta['sample_rate']
+            assert got.payload == fake_resize(row.payload, None, 48, 48)
+
+
+def test_media_frame_sampling(spark):
+    from pyxml_spark.pipeline.multimodal import (MEDIA_SCHEMA,
+                                                 fake_frame_sample,
+                                                 sample_frames,
+                                                 synth_media_pdf)
+    pdf = synth_media_pdf(30, seed=42)
+    df = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    rows = sample_frames(df, every_ms=250).collect()
+    vids = {r.media_id: r for _, r in pdf.iterrows() if r.kind == 'video'}
+    assert {r.media_id for r in rows} == set(vids)  # only videos explode
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, frames in by_media.items():
+        src = vids[mid]
+        frames.sort(key=lambda r: r.frame_idx)
+        if src.payload is None:
+            assert len(frames) == 1 and frames[0].sample_error
+            continue
+        want = fake_frame_sample(src.payload, dict(src.meta), 250)
+        assert [f.frame for f in frames] == want
+        assert [f.ts_ms for f in frames] == [k * 250
+                                             for k in range(len(want))]
+
+
 def test_media_decoder_registry_is_swappable():
     from pyxml_spark.pipeline import multimodal as mm
     calls = []
