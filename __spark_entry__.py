@@ -217,12 +217,21 @@ def q_dedup_exact(spark, sf_dir) -> DataFrame:
                                F.count('*').alias('n_copies')))
 
 
+#: BPE-ish pre-tokenizer approximation: letter runs, single digits (BPE
+#: vocabularies split digit strings), single symbols — portable between
+#: Spark and DuckDB regex dialects
+_SUBWORD_RX = '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]'
+
+
 def q_token_count(spark, sf_dir) -> DataFrame:
+    """whitespace token count + BPE-ish subword count per document"""
     docs = _table(spark, sf_dir, 'documents')
     trimmed = F.trim(F.col('text'))
     n = F.when(trimmed == '', F.lit(0)).otherwise(
         F.size(F.split(trimmed, r'\s+')))
-    return docs.select('doc_id', n.cast('long').alias('n_tokens'))
+    subwords = F.size(F.regexp_extract_all('text', F.lit(_SUBWORD_RX), 0))
+    return docs.select('doc_id', n.cast('long').alias('n_tokens'),
+                       subwords.cast('long').alias('n_subwords'))
 
 
 def q_quality_score(spark, sf_dir) -> DataFrame:
@@ -719,12 +728,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, MIN(doc_id) AS keeper,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)""",
-        'token_count': """
+        'token_count': f"""
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0
                         ELSE array_length(regexp_split_to_array(trim(text),
                                                                 '\\s+'))
-                        END AS BIGINT) AS n_tokens
+                        END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{_SUBWORD_RX}'))
+                        AS BIGINT) AS n_subwords
             FROM documents""",
         'quality_score': """
             WITH t AS (
