@@ -271,6 +271,21 @@ def q_fingerprint_shingle(spark, sf_dir) -> DataFrame:
         F.md5(F.concat_ws('\x1f', words).cast('binary')).alias('fp'))
 
 
+def q_fingerprint_rolling(spark, sf_dir) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint: polynomial hash of every 8-char
+    gram (base 257 mod 1e9+7, exact integer math), document fingerprint =
+    minimum gram hash (winnowing-style). Docs shorter than 8 chars -> -1."""
+    K, B, M = 8, 257, 1_000_000_007
+    docs = _table(spark, sf_dir, 'documents')
+    grams = F.expr(f"""
+        transform(sequence(1, greatest(length(text) - {K - 1}, 1)), p ->
+          aggregate(sequence(0, {K - 1}), 0L, (acc, j) ->
+            (acc * {B} + ascii(substring(text, p + j, 1))) % {M}))""")
+    fp = F.when(F.length('text') >= K, F.array_min(grams)) \
+        .otherwise(F.lit(-1))
+    return docs.select('doc_id', fp.cast('long').alias('fp_roll'))
+
+
 def q_minhash_band(spark, sf_dir) -> DataFrame:
     """MinHash (lexicographic-min of seeded md5 over the token set) -> LSH
     band key; near-dup candidates share a band"""
@@ -593,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_score': q_quality_score,
         'lang_id': q_lang_id,
         'fingerprint_shingle': q_fingerprint_shingle,
+        'fingerprint_rolling': q_fingerprint_rolling,
         'minhash_band': q_minhash_band,
         'dedup_minhash_pairs': q_dedup_minhash_pairs,
         'ngram_jaccard_pairs': q_ngram_jaccard_pairs,
@@ -775,6 +791,19 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        regexp_split_to_array(trim(text), '\\s+'))),
                        chr(31))) AS fp
+            FROM documents""",
+        'fingerprint_rolling': """
+            SELECT doc_id,
+                   CAST(CASE WHEN length(text) >= 8 THEN
+                       list_min(list_transform(
+                           generate_series(1, length(text) - 7), p ->
+                           list_reduce(
+                               list_concat([CAST(0 AS BIGINT)],
+                                   list_transform(generate_series(0, 7),
+                                       j -> CAST(ascii(substr(text, p + j,
+                                                              1)) AS BIGINT))),
+                               (acc, x) -> (acc * 257 + x) % 1000000007)))
+                   ELSE -1 END AS BIGINT) AS fp_roll
             FROM documents""",
         'minhash_band': f"""
             WITH t AS (
