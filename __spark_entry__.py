@@ -250,15 +250,25 @@ def q_quality_score(spark, sf_dir) -> DataFrame:
                     is_q.alias('is_quality'))
 
 
+#: high-frequency English character trigrams for the n-gram scorer
+_EN_TRIGRAMS = ('the', 'ing', 'ent', 'ion', 'and')
+
+
 def q_lang_id(spark, sf_dir) -> DataFrame:
-    """stopword-hit language heuristic"""
+    """language-ID heuristic: stopword hits + character-trigram frequency
+    (occurrence counting via length-difference — exact in both engines)"""
     docs = _table(spark, sf_dir, 'documents')
     padded = F.concat(F.lit(' '), F.col('text'), F.lit(' '))
     hits = sum((F.instr(padded, f' {w} ') > 0).cast('long')
                for w in ('the', 'and', 'of', 'to', 'in'))
-    d = docs.select('doc_id', hits.alias('en_hits'))
-    return d.select('doc_id', 'en_hits',
-                    F.when(F.col('en_hits') >= 2, F.lit('en'))
+    tri = sum(((F.length('text')
+                - F.length(F.replace(F.col('text'), F.lit(g)))) / 3)
+              .cast('long') for g in _EN_TRIGRAMS)
+    d = docs.select('doc_id', hits.alias('en_hits'),
+                    tri.alias('tri_hits'))
+    return d.select('doc_id', 'en_hits', 'tri_hits',
+                    F.when((F.col('en_hits') >= 2)
+                           | (F.col('tri_hits') >= 3), F.lit('en'))
                     .otherwise(F.lit('unk')).alias('predicted'))
 
 
@@ -782,10 +792,27 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN position(' in ' IN ' ' || text || ' ') > 0
                                THEN 1 ELSE 0 END)::BIGINT AS en_hits
                 FROM documents)
-            SELECT doc_id, en_hits,
-                   CASE WHEN en_hits >= 2 THEN 'en' ELSE 'unk' END
-                       AS predicted
-            FROM t""",
+            SELECT t.doc_id, t.en_hits, g.tri_hits,
+                   CASE WHEN t.en_hits >= 2 OR g.tri_hits >= 3
+                        THEN 'en' ELSE 'unk' END AS predicted
+            FROM t JOIN (
+                SELECT doc_id,
+                       (CAST((length(text)
+                              - length(replace(text, 'the', ''))) / 3
+                             AS BIGINT)
+                        + CAST((length(text)
+                                - length(replace(text, 'ing', ''))) / 3
+                               AS BIGINT)
+                        + CAST((length(text)
+                                - length(replace(text, 'ent', ''))) / 3
+                               AS BIGINT)
+                        + CAST((length(text)
+                                - length(replace(text, 'ion', ''))) / 3
+                               AS BIGINT)
+                        + CAST((length(text)
+                                - length(replace(text, 'and', ''))) / 3
+                               AS BIGINT)) AS tri_hits
+                FROM documents) g ON g.doc_id = t.doc_id""",
         'fingerprint_shingle': """
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(
