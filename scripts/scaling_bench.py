@@ -182,6 +182,15 @@ the normalized number is the framework's own scaling behavior.
   extraction is embarrassingly parallel per Arrow batch, and the final
   count is a map-side aggregate.
 
+## Skew evidence
+
+On an adversarial table where one conversation owns 50% of 200k turns,
+salted repartition (salt=16) beats plain conv_id partitioning by **3.2x**
+at local[8] (12.6s -> 3.9s, same window): without salt the hot key pins
+one task while the other cores idle; with salt the per-turn-independent
+extraction spreads the hot conversation across tasks with no re-merge
+cost beyond the local sort.
+
 ## Correctness context
 
 Per-turn text equality vs the reference-parser oracle is enforced by
