@@ -199,10 +199,15 @@ plus the differential suites (token stream / DOM / serialize / xpath /
 escape parity over ~170 corpus payloads, 1,300 hypothesis-fuzzed inputs per
 run, and a random-xpath probe — tests/test_oracle_diff.py,
 tests/test_fuzz_parity.py). One-off soaks this round, all clean: 16k random
-markup payloads x 2 modes vs the reference parser; 25k random xpaths vs the
-reference engine; 50k fresh-seed synthetic turns comparing the streaming
-extraction against heuristics over reference-parsed DOMs. The streaming
-no-DOM gather path is pinned to the DOM path by tests/test_gather.py.
+markup payloads x 2 modes vs the reference parser; 6k payloads on an
+encoding/backslash/CDATA-focused alphabet; 25k random xpaths vs the
+reference engine; 10k serialize round-trips (xml+html tostring bytes
+exact); extraction equality vs heuristics-over-reference-DOMs at 50k and
+200k fresh-seed turns (145,802 parse-compared + 19,912 matched-error rows
+at 200k, 0 mismatches). The streaming no-DOM gather path is pinned to the
+DOM path by tests/test_gather.py. Operational: incremental resume with
+max_buckets=7 converges in 6 runs to exactly 5,000/5,000 rows with zero
+duplicate keys; a post-completion run is a no-op.
 
 ## Single-node comparison vs the reference
 
