@@ -207,7 +207,10 @@ exact); extraction equality vs heuristics-over-reference-DOMs at 50k and
 at 200k, 0 mismatches). The streaming no-DOM gather path is pinned to the
 DOM path by tests/test_gather.py. Operational: incremental resume with
 max_buckets=7 converges in 6 runs to exactly 5,000/5,000 rows with zero
-duplicate keys; a post-completion run is a no-op.
+duplicate keys; a post-completion run is a no-op. Determinism: the full
+extraction output (text, spans, errors, counts) hashes bit-identically
+between local[4] and local[16] sessions on the same 20k-turn input — the
+per-row invariant behind the N-vs-4N criterion.
 
 ## Single-node comparison vs the reference
 
