@@ -52,10 +52,21 @@ def main(argv=None) -> int:
     ap.add_argument('--salt', type=int, default=16)
     ap.add_argument('--cpus', type=int, default=int(os.environ.get(
         'SPARK_GRAFT_CPUS', '8')))
+    ap.add_argument('--min-block-chars', type=int, default=None,
+                    help='heuristics: minimum kept block size')
+    ap.add_argument('--max-link-density', type=float, default=None,
+                    help='heuristics: maximum link-char ratio per block')
     args = ap.parse_args(argv)
 
     from pyxml_spark.pipeline import (output_metrics, run_with_resume,
                                       write_transcripts)
+    from pyxml_spark.pipeline.heuristics import ExtractConfig
+
+    config = ExtractConfig()
+    if args.min_block_chars is not None:
+        config = config._replace(min_block_chars=args.min_block_chars)
+    if args.max_link_density is not None:
+        config = config._replace(max_link_density=args.max_link_density)
 
     spark = build_session(args.cpus)
     try:
@@ -73,7 +84,7 @@ def main(argv=None) -> int:
         result = run_with_resume(
             spark, input_ref, output, manifest,
             n_buckets=args.buckets, max_buckets=args.max_buckets,
-            salt=args.salt)
+            salt=args.salt, config=config)
         metrics = output_metrics(spark.read.parquet(output))
         # keep the whole-output totals and this run's contribution distinct
         metrics['rows_this_run'] = result.pop('rows_out')
