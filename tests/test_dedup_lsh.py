@@ -1,0 +1,114 @@
+"""Multi-band MinHash-LSH scale properties (VERDICT r1 finding #1).
+
+The round-1 scheme put 44% of all pairs into shared bands; the rework must
+keep candidates (a) linearly bounded by bands*window*n regardless of corpus
+similarity structure, (b) a small fraction of n^2, and (c) semantically
+complete for dedup — near-identical docs end up in the same connected
+component of the candidate graph even where the rank-window cap drops the
+direct pair.
+"""
+import pytest
+
+pyspark = pytest.importorskip('pyspark')
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+@pytest.fixture(scope='module')
+def spark():
+    from pyspark.sql import SparkSession
+    s = (SparkSession.builder.master('local[4]')
+         .appName('pyxml-spark-dedup-tests')
+         .config('spark.sql.shuffle.partitions', '4')
+         .config('spark.ui.enabled', 'false')
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope='module')
+def corpus(spark):
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    rows = docs.select('doc_id', 'text').collect()
+    return {r.doc_id: frozenset(r.text.split()) for r in rows}
+
+
+@pytest.fixture(scope='module')
+def candidates(spark):
+    from pyxml_spark.pipeline.dedup import (candidate_pairs, minhash_bands,
+                                            token_sets)
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    toks = token_sets(docs)
+    pairs = candidate_pairs(minhash_bands(toks)).collect()
+    return [(r.doc_a, r.doc_b) for r in pairs]
+
+
+def test_candidate_count_linear_bound(candidates, corpus):
+    from pyxml_spark.pipeline.dedup import N_BANDS, PAIR_WINDOW
+    n = len(corpus)
+    all_pairs = n * (n - 1) // 2
+    # hard linear bound: the rank-window cap guarantees this even on a
+    # corpus of n identical documents
+    assert len(candidates) <= N_BANDS * PAIR_WINDOW * n
+    # and on this (pathologically self-similar: 26% of pairs have
+    # jaccard >= 0.8) corpus the banding still keeps candidates small —
+    # round 1 produced 54,647 (44%) here
+    assert len(candidates) < 0.05 * all_pairs
+
+
+def _components(pairs, nodes):
+    parent = {d: d for d in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {d: find(d) for d in nodes}
+
+
+def test_near_identical_docs_stay_connected(candidates, corpus):
+    """dedup semantics survive the pair-window cap: docs whose token sets
+    are identical or near-identical (jaccard >= 0.9) land in one connected
+    component, so connected-component keeper selection dedups them"""
+    comp = _components(candidates, corpus.keys())
+    ids = sorted(corpus)
+    missed = total = 0
+    for i, a in enumerate(ids):
+        wa = corpus[a]
+        for b in ids[i + 1:]:
+            wb = corpus[b]
+            inter = len(wa & wb)
+            if inter * 10 < max(len(wa), len(wb)) * 9:
+                continue  # cheap upper-bound prune before exact jaccard
+            j = inter / len(wa | wb)
+            if j >= 0.9:
+                total += 1
+                if comp[a] != comp[b]:
+                    missed += 1
+    assert total > 1000, 'corpus should contain many true near-dups'
+    # banding S-curve at (1/8)^(1/8) ~= 0.77 plus transitive closure:
+    # essentially every j>=0.9 pair must be linked
+    assert missed / total < 0.01, f'{missed}/{total} near-dup pairs unlinked'
+
+
+def test_identical_sets_share_all_bands(spark):
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.dedup import minhash_bands, token_sets
+    docs = spark.createDataFrame(
+        [(1, 'a b c d e'), (2, 'e d c b a'), (3, 'x y z w q')],
+        'doc_id long, text string')
+    bands = minhash_bands(token_sets(docs))
+    k1 = {(r.band_id, r.band_key) for r in
+          bands.where(F.col('doc_id') == 1).collect()}
+    k2 = {(r.band_id, r.band_key) for r in
+          bands.where(F.col('doc_id') == 2).collect()}
+    k3 = {(r.band_id, r.band_key) for r in
+          bands.where(F.col('doc_id') == 3).collect()}
+    assert k1 == k2, 'same token set => same band keys'
+    assert not (k1 & k3), 'disjoint vocab => no shared band'
