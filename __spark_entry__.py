@@ -472,16 +472,23 @@ def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
                         (cos > 0.2).alias('near_dup'))
 
 
+#: embeddings tables are dim-64 at every sf (TESTDATA.md); baked into the
+#: LSH hyperplane / oracle literals
+_EMB_DIM = 64
+_ANN_PLANES = 6
+
+
 def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
     """LSH-bucketed approximate top-k (the scale path for similarity
-    search): random-hyperplane signatures + Hamming<=1 probes + exact rerank.
-    No SQL oracle (rows-only check); recall vs brute force is asserted in
-    tests/test_similarity.py."""
+    search): random-hyperplane signatures + Hamming<=1 probes + exact
+    rerank. Hyperplanes are md5-derived +-1 literals, so the whole
+    probe+rerank has an exact DuckDB twin; recall vs brute force is
+    additionally asserted in tests/test_similarity.py."""
     from pyxml_spark.pipeline.similarity import (as_double_vec, lsh_topk)
     emb = _table(spark, sf_dir, 'embeddings')
     vec = as_double_vec(emb).select('vec_id', 'v')
     q = vec.where(F.col('vec_id') == 0).select(F.col('v').alias('q'))
-    out = lsh_topk(vec, q, k=10, n_planes=6)
+    out = lsh_topk(vec, q, k=10, n_planes=_ANN_PLANES, dim=_EMB_DIM)
     return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
 
 
@@ -519,17 +526,16 @@ def q_pdf_blocks_stats(spark, sf_dir) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
-    """IVF approximate top-k (the other scale path): Spark ML KMeans coarse
-    quantizer + probed inverted lists + exact rerank. No SQL oracle
-    (rows-only check — KMeans has no DuckDB twin); recall vs brute force is
-    asserted in tests/test_similarity.py."""
-    from pyxml_spark.pipeline.similarity import (as_double_vec, build_ivf,
-                                                 ivf_topk)
+    """IVF approximate top-k (the other scale path): deterministic sign-bit
+    grid coarse quantizer (inverted list = orthant of the first 3 dims) +
+    Hamming<=1 probed lists + exact rerank — fully SQL-expressible, so it
+    carries a DuckDB oracle (the KMeans quantizer remains in
+    pipeline/similarity.py as the model-based variant, pytest-covered)."""
+    from pyxml_spark.pipeline.similarity import as_double_vec, grid_ivf_topk
     emb = _table(spark, sf_dir, 'embeddings')
     vec = as_double_vec(emb).select('vec_id', 'v')
     q = vec.where(F.col('vec_id') == 0).select(F.col('v').alias('q'))
-    assigned, model = build_ivf(vec, n_lists=8)
-    out = ivf_topk(assigned, model, q, k=10, n_probe=3)
+    out = grid_ivf_topk(vec, q, k=10, n_bits=3)
     return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
 
 
@@ -687,6 +693,56 @@ def _mh_pairs_sql() -> str:
                (CASE WHEN u = 0 THEN 0
                      ELSE floor(i * 10000.0 / u) END) >= 8000 AS is_dup
         FROM p"""
+
+
+_COS_SQL = ("list_inner_product(s.v, q.qv) "
+            "/ (sqrt(list_inner_product(s.v, s.v)) "
+            "* sqrt(list_inner_product(q.qv, q.qv)))")
+
+
+def _ann_rerank_sql(sig_expr: str, probes: list[str]) -> str:
+    """shared DuckDB shape for the bucketed ANN paths: signature CTE ->
+    query row -> probe list -> distinct candidates -> exact cosine rerank"""
+    probe_list = ', '.join(probes)
+    return f"""
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+                 s AS (SELECT vec_id, v, ({sig_expr}) AS sig FROM v),
+                 q AS (SELECT sig AS qsig, v AS qv FROM s WHERE vec_id = 0),
+                 pr AS (SELECT unnest([{probe_list}]) AS probe FROM q),
+                 c AS (SELECT DISTINCT s.vec_id FROM s
+                       JOIN pr ON s.sig = pr.probe),
+                 r AS (SELECT c.vec_id, {_COS_SQL} AS cos
+                       FROM c JOIN s ON s.vec_id = c.vec_id, q)
+            SELECT vec_id, ROUND(cos, 4) AS cos_sim FROM r
+            ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of q_ann_lsh_topk: the md5-derived +-1 hyperplanes are
+    emitted as literal arrays; each projection is the same left-fold dot
+    product Spark's F.aggregate computes, so sign decisions match exactly"""
+    from pyxml_spark.pipeline.similarity import _sign_vector
+    bits = []
+    for p in range(_ANN_PLANES):
+        signs = _sign_vector(p, _EMB_DIM)
+        lit = '[' + ', '.join('1.0' if s > 0 else '-1.0'
+                              for s in signs) + ']'
+        proj = (f"list_reduce(list_concat([CAST(0 AS DOUBLE)], "
+                f"list_transform(generate_series(1, {_EMB_DIM}), "
+                f"i -> v[i] * ({lit})[i])), (a, x) -> a + x)")
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END")
+    sig = '\n                        + '.join(bits)
+    probes = ['qsig'] + [f'xor(qsig, {1 << p})' for p in range(_ANN_PLANES)]
+    return _ann_rerank_sql(sig, probes)
+
+
+def _ann_ivf_sql(n_bits: int = 3) -> str:
+    """DuckDB twin of q_ann_ivf_topk's sign-bit grid quantizer"""
+    sig = ' + '.join(f"CASE WHEN v[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END"
+                     for d in range(n_bits))
+    probes = ['qsig'] + [f'xor(qsig, {1 << d})' for d in range(n_bits)]
+    return _ann_rerank_sql(sig, probes)
 
 
 def _simhash_sql() -> str:
@@ -929,6 +985,8 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_inner_product(v, v))
                         * sqrt(list_inner_product(q, q))) DESC, vec_id ASC
             LIMIT 10""",
+        'ann_lsh_topk': _ann_lsh_sql(),
+        'ann_ivf_topk': _ann_ivf_sql(),
         'join_rollup': """
             SELECT o_orderpriority, COUNT(*) AS n_items,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

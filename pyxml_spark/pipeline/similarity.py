@@ -21,7 +21,8 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ['as_double_vec', 'brute_force_topk', 'add_lsh_signature',
-           'lsh_topk', 'build_ivf', 'ivf_topk']
+           'lsh_topk', 'build_ivf', 'ivf_topk', 'grid_assign',
+           'grid_ivf_topk']
 
 
 def as_double_vec(df: DataFrame, col: str = 'embedding',
@@ -112,13 +113,52 @@ def ivf_topk(assigned: DataFrame, model, query_df: DataFrame, k: int = 10,
     return scored.orderBy(F.desc('cos_sim'), F.asc('vec_id')).limit(k)
 
 
+def grid_assign(vec_df: DataFrame, n_bits: int = 3, col: str = 'v',
+                out: str = 'list_id') -> DataFrame:
+    """deterministic IVF coarse quantizer: inverted list = orthant of the
+    first ``n_bits`` dimensions (bit d set when v[d] >= 0).
+
+    A KMeans-free quantizer with an exact DuckDB twin (the KMeans variant in
+    :func:`build_ivf` stays available but has no SQL oracle); assignment is
+    a narrow JVM-side map, no fitted model to ship.
+    """
+    lid = F.lit(0)
+    for d in range(n_bits):
+        lid = lid + F.when(F.element_at(F.col(col), d + 1) >= 0,
+                           F.lit(1 << d)).otherwise(0)
+    return vec_df.withColumn(out, lid.cast('int'))
+
+
+def grid_ivf_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
+                  n_bits: int = 3, probe_hamming: int = 1) -> DataFrame:
+    """IVF probe over the grid quantizer: the query's own orthant plus all
+    Hamming<=1 sign flips (n_bits+1 of the 2^n_bits lists), exact cosine
+    rerank within the probed lists"""
+    corpus = grid_assign(vec_df, n_bits)
+    query = grid_assign(query_df.withColumnRenamed('q', 'v'), n_bits) \
+        .withColumnRenamed('v', 'q').withColumnRenamed('list_id', 'qlist')
+    probes = [F.col('qlist')]
+    if probe_hamming >= 1:
+        probes += [F.col('qlist').bitwiseXOR(F.lit(1 << d))
+                   for d in range(n_bits)]
+    query = query.withColumn('probe', F.explode(F.array(*probes)))
+    cands = corpus.join(F.broadcast(query),
+                        corpus['list_id'] == query['probe'], 'inner')
+    scored = cands.select('vec_id', _cosine('v', 'q').alias('cos_sim')) \
+        .dropDuplicates(['vec_id'])
+    return scored.orderBy(F.desc('cos_sim'), F.asc('vec_id')).limit(k)
+
+
 def lsh_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
              n_planes: int = 8,
-             probe_hamming: int = 1) -> DataFrame:
+             probe_hamming: int = 1,
+             dim: Optional[int] = None) -> DataFrame:
     """bucketed ANN: candidates share the query's signature bucket (plus all
-    buckets within the probe Hamming radius), then exact rerank"""
-    corpus = add_lsh_signature(vec_df, n_planes)
-    query = add_lsh_signature(query_df.withColumnRenamed('q', 'v'), n_planes)\
+    buckets within the probe Hamming radius), then exact rerank. Pass
+    ``dim`` when known to skip the one-row dimension probe."""
+    corpus = add_lsh_signature(vec_df, n_planes, dim=dim)
+    query = add_lsh_signature(query_df.withColumnRenamed('q', 'v'), n_planes,
+                              dim=dim)\
         .withColumnRenamed('v', 'q').withColumnRenamed('sig', 'qsig')
     # probe bucket list: qsig plus single-bit flips (hamming<=1)
     probes = [F.col('qsig')]

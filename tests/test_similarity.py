@@ -85,3 +85,28 @@ def test_ivf_recall_vs_brute_force(spark, vectors):
         total += len(exact)
     # probing 3/8 lists; random gaussians are the worst case for IVF too
     assert hits / total >= 0.3, hits / total
+
+
+def test_grid_ivf_recall_vs_brute_force(spark, vectors):
+    """deterministic sign-bit grid quantizer (the SQL-oracled IVF variant)"""
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.similarity import (brute_force_topk,
+                                                 grid_assign, grid_ivf_topk)
+    # 2^3 orthant lists over dim-64 gaussians are roughly balanced
+    sizes = [r['count'] for r in
+             grid_assign(vectors, n_bits=3).groupBy('list_id')
+             .count().collect()]
+    n = vectors.count()
+    assert len(sizes) == 8 and max(sizes) < n / 2
+    hits = total = 0
+    for qid in (0, 7, 42):
+        q = vectors.where(F.col('vec_id') == qid).select(
+            F.col('v').alias('q'))
+        exact = {r.vec_id for r in brute_force_topk(vectors, q, 10).collect()}
+        approx = {r.vec_id for r in
+                  grid_ivf_topk(vectors, q, 10, n_bits=3).collect()}
+        assert qid in approx, 'query vector must match itself'
+        hits += len(exact & approx)
+        total += len(exact)
+    # probing 4/8 lists; random gaussians are the worst case
+    assert hits / total >= 0.3, hits / total
