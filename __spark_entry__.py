@@ -54,29 +54,21 @@ def _wrap_html(text_col):
                     F.lit('</p></article></body></html>'))
 
 
-_EXTRACT_SCHEMA = StructType([
-    StructField('doc_id', LongType()),
-    StructField('main_text', StringType()),
-    StructField('n_text_chars', LongType()),
-    StructField('parse_error', StringType()),
-])
-
-
-def _extract_batches(batches):
-    from pyxml_spark.pipeline.extract import extract_payload
-    for pdf in batches:
-        rows = [extract_payload(t) for t in pdf['payload']]
-        yield pd.DataFrame({
-            'doc_id': pdf['doc_id'].values,
-            'main_text': [r['main_text'] for r in rows],
-            'n_text_chars': [r['n_text_chars'] for r in rows],
-            'parse_error': [r['parse_error'] for r in rows],
-        })
-
-
 def _run_extraction(df: DataFrame) -> DataFrame:
-    """documents-shaped df with (doc_id, payload) -> extraction columns"""
-    return df.mapInPandas(_extract_batches, schema=_EXTRACT_SCHEMA)
+    """documents-shaped df with (doc_id, payload) -> extraction columns,
+    routed through the production path (pipeline/extract.extract_turns:
+    salted repartition + mapInArrow kernel) so the contract queries
+    exercise the same tuned kernel the jobs run (VERDICT r1 finding #5)"""
+    from pyxml_spark.pipeline.extract import extract_turns
+    src = df.select(F.col('doc_id').cast('string').alias('conv_id'),
+                    F.lit(0).cast('int').alias('turn_idx'),
+                    F.col('payload').alias('text'))
+    out = extract_turns(src, sort_output=False)
+    return out.select(F.col('conv_id').cast('long').alias('doc_id'),
+                      'main_text',
+                      F.col('n_text_chars').cast('long')
+                      .alias('n_text_chars'),
+                      'parse_error', 'spans')
 
 
 def _xpath_count_batches(batches):
@@ -116,6 +108,44 @@ def q_extract_html_wrapped(spark, sf_dir) -> DataFrame:
     docs = _table(spark, sf_dir, 'documents')
     src = docs.select('doc_id', _wrap_html(F.col('text')).alias('payload'))
     return _run_extraction(src).select('doc_id', 'main_text')
+
+
+def q_extract_dirty(spark, sf_dir) -> DataFrame:
+    """dirty-markup gauntlet through the production kernel: payload class
+    doc_id % 12 deterministically hits the quirk/repair paths — fix_broken
+    autoclose (0), bare multi-char attr (1), script raw-text (2), entities
+    (3), mismatched close repair (4), comment + PI multi-root wrap (5),
+    link-density drop (6), boiler-class drop (7), single-char-attr
+    text-absorption quirk (8), invalid-tag downgrade (9), single-char attr
+    '='-absorption quirk (10), mid-text void tag (11). Expected main_text
+    has a closed form per class because each quirk's behavior is
+    deterministic and parity-pinned by the fuzz suites."""
+    docs = _table(spark, sf_dir, 'documents')
+    t = F.col('text')
+    cls = F.col('doc_id') % 12
+    payload = (
+        F.when(cls == 0, F.concat(F.lit('<div><p>'), t))
+        .when(cls == 1, F.concat(F.lit('<p data>'), t, F.lit('</p>')))
+        .when(cls == 2, F.concat(
+            F.lit('<div><script>if (a<b) {x=1}</script><p>'), t,
+            F.lit('</p></div>')))
+        .when(cls == 3, F.concat(F.lit('<p>&amp; '), t,
+                                 F.lit(' &lt;tag&gt;</p>')))
+        .when(cls == 4, F.concat(F.lit('<div><p>'), t,
+                                 F.lit('</i></p></div>')))
+        .when(cls == 5, F.concat(F.lit('<!--c--><p>'), t,
+                                 F.lit('</p><?pi x?>')))
+        .when(cls == 6, F.concat(F.lit('<div><p><a href=x>'), t,
+                                 F.lit('</a></p></div>')))
+        .when(cls == 7, F.concat(F.lit('<div class="navbar"><p>'), t,
+                                 F.lit('</p></div>')))
+        .when(cls == 8, F.concat(F.lit('<p a>'), t, F.lit('</p>')))
+        .when(cls == 9, F.concat(F.lit('<div><1bad>'), t, F.lit('</div>')))
+        .when(cls == 10, F.concat(F.lit('<p a="1" b>'), t, F.lit('</p>')))
+        .otherwise(F.concat(F.lit('<p>'), t,
+                            F.lit('<br>more words here now</p>'))))
+    src = docs.select('doc_id', payload.alias('payload'))
+    return _run_extraction(src).select('doc_id', 'main_text', 'parse_error')
 
 
 def q_xpath_count(spark, sf_dir) -> DataFrame:
@@ -355,38 +385,21 @@ def q_simsearch_topk(spark, sf_dir) -> DataFrame:
             .select('vec_id', F.round('cos', 4).alias('cos_sim')))
 
 
-_SPAN_SCHEMA = StructType([
-    StructField('doc_id', LongType()),
-    StructField('span_start', IntegerType()),
-    StructField('span_end', IntegerType()),
-])
-
-
-def _span_batches(batches):
-    from pyxml_spark.pipeline.extract import extract_payload
-    for pdf in batches:
-        starts, ends = [], []
-        for t in pdf['payload']:
-            r = extract_payload(t)
-            if r['spans']:
-                starts.append(r['spans'][0][0])
-                ends.append(r['spans'][0][1])
-            else:
-                starts.append(-1)
-                ends.append(-1)
-        yield pd.DataFrame({'doc_id': pdf['doc_id'].values,
-                            'span_start': starts, 'span_end': ends})
-
-
 def q_extract_spans(spark, sf_dir) -> DataFrame:
-    """char-span offsets into the raw payload: for the wrapped shell the kept
-    block's first span must start exactly after the 25-byte prefix and end at
-    25+len(text) (documents are ASCII, so bytes == chars)"""
+    """char-span offsets into the raw payload (first kept span off the
+    production kernel's spans column): for the wrapped shell the kept
+    block's first span must start exactly after the 25-byte prefix and end
+    at 25+len(text) (documents are ASCII, so bytes == chars)"""
     docs = _table(spark, sf_dir, 'documents')
     src = docs.select('doc_id', _wrap_html(F.col('text')).alias('payload'))
-    out = src.mapInPandas(_span_batches, schema=_SPAN_SCHEMA)
-    return out.select('doc_id', F.col('span_start').cast('long'),
-                      F.col('span_end').cast('long'))
+    out = _run_extraction(src)
+    first = F.element_at('spans', 1)
+    return out.select(
+        'doc_id',
+        F.when(F.size('spans') > 0, first['start']).otherwise(-1)
+        .cast('long').alias('span_start'),
+        F.when(F.size('spans') > 0, first['end']).otherwise(-1)
+        .cast('long').alias('span_end'))
 
 
 _ATTR_SCHEMA = StructType([
@@ -586,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'extract_documents': q_extract_documents,
         'extract_html_wrapped': q_extract_html_wrapped,
+        'extract_dirty': q_extract_dirty,
         'xpath_count': q_xpath_count,
         'xpath_attr_extract': q_xpath_attr_extract,
         'extract_spans': q_extract_spans,
@@ -785,6 +799,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length({norm}) >= 10 THEN {norm} ELSE '' END
                        AS main_text
             FROM documents""",
+        'extract_dirty': f"""
+            WITH t AS (SELECT doc_id, doc_id % 12 AS cls, {norm} AS nt
+                       FROM documents)
+            SELECT doc_id,
+                   CASE
+                     WHEN cls IN (0, 1, 2, 4, 5, 9) THEN nt
+                     WHEN cls = 3 THEN '& ' || nt || ' <tag>'
+                     WHEN cls IN (6, 7, 8, 10) THEN ''
+                     ELSE nt || ' more words here now'
+                   END AS main_text,
+                   CAST(NULL AS VARCHAR) AS parse_error
+            FROM t""",
         'xpath_count': """
             SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS n_p
             FROM documents""",

@@ -93,6 +93,8 @@ def extract_batches(batches: Iterable[pd.DataFrame],
             'parse_error': [r['parse_error'] for r in rows],
             'n_nodes': [r['n_nodes'] for r in rows],
             'n_text_chars': [r['n_text_chars'] for r in rows],
+            'n_raw_chars': [len(t) if t is not None else 0
+                            for t in pdf['text']],
         })
 
 
@@ -115,6 +117,7 @@ def extract_arrow_batches(batches, config: ExtractConfig = ExtractConfig()):
         perr = [None] * n
         nodes = [0] * n
         chars = [0] * n
+        raw = [0] * n
         # spans go out as a ListArray built from flat offset/start/end
         # columns — no per-span python dicts in the hot loop
         starts: list = []
@@ -127,6 +130,7 @@ def extract_arrow_batches(batches, config: ExtractConfig = ExtractConfig()):
             perr[i] = pe
             nodes[i] = nn
             chars[i] = nc
+            raw[i] = len(t) if t is not None else 0
             for s, e in spans:
                 starts.append(s)
                 ends.append(e)
@@ -142,9 +146,11 @@ def extract_arrow_batches(batches, config: ExtractConfig = ExtractConfig()):
              span_arr,
              pa.array(perr, pa.string()),
              pa.array(nodes, pa.int32()),
-             pa.array(chars, pa.int32())],
+             pa.array(chars, pa.int32()),
+             pa.array(raw, pa.int32())],
             names=['conv_id', 'turn_idx', 'main_text', 'spans',
-                   'parse_error', 'n_nodes', 'n_text_chars'])
+                   'parse_error', 'n_nodes', 'n_text_chars',
+                   'n_raw_chars'])
 
 
 def extract_turns(df,

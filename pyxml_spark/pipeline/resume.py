@@ -54,6 +54,8 @@ def run_with_resume(spark: SparkSession,
     ``remaining == 0``."""
     from .io import read_transcripts
 
+    from pyspark.sql import Observation
+
     spark.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
     run_id = uuid.uuid4().hex[:12]
     t0 = time.time()
@@ -63,20 +65,21 @@ def run_with_resume(spark: SparkSession,
     n_done = done.count()
 
     pending = turns.join(F.broadcast(done), on='bucket', how='left_anti')
-    if max_buckets is not None:
-        processed = [r.bucket for r in
-                     pending.select('bucket').distinct()
-                     .orderBy('bucket').limit(max_buckets).collect()]
-        if not processed:
-            return dict(run_id=run_id, buckets_done=n_done, buckets_run=0,
-                        remaining=0, rows_out=0, wall_seconds=0.0)
+    # one column-pruned planning pass decides the work list (at most
+    # n_buckets rows reach the driver). All run metrics — including input
+    # lineage — later come off the output table (the kernel carries
+    # n_raw_chars and is 1-row-in:1-row-out), so the input is scanned
+    # exactly twice per run: this planning pass and the extraction itself.
+    all_pending = [r.bucket for r in
+                   pending.select('bucket').distinct()
+                   .orderBy('bucket').collect()]
+    processed = (all_pending[:max_buckets] if max_buckets is not None
+                 else all_pending)
+    if not processed:
+        return dict(run_id=run_id, buckets_done=n_done, buckets_run=0,
+                    remaining=0, rows_out=0, wall_seconds=0.0)
+    if len(processed) < len(all_pending):
         pending = pending.where(F.col('bucket').isin(processed))
-    else:
-        processed = [r.bucket for r in
-                     pending.select('bucket').distinct().collect()]
-        if not processed:
-            return dict(run_id=run_id, buckets_done=n_done, buckets_run=0,
-                        remaining=0, rows_out=0, wall_seconds=0.0)
 
     # keep the bucket column alongside the extraction output for the
     # partitioned write: extract on (conv_id, turn_idx, text), re-attach
@@ -85,40 +88,46 @@ def run_with_resume(spark: SparkSession,
                         partitions=partitions)
     out = with_bucket(out, n_buckets)
 
-    out.write.mode('overwrite').partitionBy('bucket').parquet(output_path)
+    # run-level metrics ride the write itself (df.observe — no extra pass)
+    obs = Observation(f'resume-{run_id}')
+    out = out.observe(obs,
+                      F.count(F.lit(1)).alias('rows_out'),
+                      F.sum(F.length('main_text')).alias('bytes_out'),
+                      F.sum('n_raw_chars').alias('bytes_in'),
+                      F.sum(F.when(F.col('parse_error').isNotNull(), 1)
+                            .otherwise(0)).alias('parse_errors'))
 
-    # post-commit metrics per bucket -> manifest (lineage = input ref).
-    # Restrict to the buckets THIS run actually processed: the output dir may
-    # also hold half-written buckets from a crashed earlier run (present in
-    # data, absent from the manifest); those must stay un-manifested so a
-    # later run redoes them.
-    written = spark.read.parquet(output_path)
-    fresh = written.where(F.col('bucket').isin(processed))
+    out.write.mode('overwrite').partitionBy('bucket').parquet(output_path)
+    totals = obs.get
+
+    # per-bucket manifest stats: the output is partitioned by bucket, so
+    # filtering to this run's buckets partition-prunes the scan to exactly
+    # the fresh partitions — the rest of the output dir (including
+    # half-written buckets from a crashed earlier run, which must stay
+    # un-manifested so a later run redoes them) is never read. Input
+    # lineage per bucket = (row count, sum of n_raw_chars) off the same
+    # scan; no second pass over the input.
+    fresh = (spark.read.parquet(output_path)
+             .where(F.col('bucket').isin(processed)))
     stats = (fresh.groupBy('bucket').agg(
         F.count('*').alias('rows_out'),
         F.sum(F.length('main_text')).alias('bytes_out'),
+        F.sum('n_raw_chars').alias('bytes_in'),
         F.sum(F.when(F.col('parse_error').isNotNull(), 1)
               .otherwise(0)).alias('parse_errors'))
         .collect())
     wall = time.time() - t0
-    # one column-pruned pass over the input covers both the per-bucket
-    # input lineage stats and the remaining-bucket count (at most n_buckets
-    # rows reach the driver; the big table is never collected)
-    in_stats = (turns.groupBy('bucket').agg(
-        F.count('*').alias('rows_in'),
-        F.sum(F.length('text')).alias('bytes_in')).collect())
-    in_counts = {r.bucket: (r.rows_in, r.bytes_in) for r in in_stats}
     rows = [(int(s.bucket), 'done',
-             int(in_counts.get(s.bucket, (0, 0))[0]),
+             int(s.rows_out),  # kernel is 1:1, rows_in == rows_out
              int(s.rows_out),
-             int(in_counts.get(s.bucket, (0, 0))[1] or 0),
+             int(s.bytes_in or 0),
              int(s.bytes_out or 0), int(s.parse_errors),
              input_ref, run_id, f'{wall:.3f}') for s in stats]
     if rows:
         spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
             'append').parquet(manifest_path)
 
-    remaining = len(in_stats) - n_done - len(rows)
+    remaining = len(all_pending) - len(processed)
     return dict(run_id=run_id, buckets_done=n_done, buckets_run=len(rows),
                 remaining=max(remaining, 0),
-                rows_out=sum(r[3] for r in rows), wall_seconds=wall)
+                rows_out=int(totals['rows_out']), wall_seconds=wall)

@@ -35,6 +35,10 @@ EXTRACTION_SCHEMA = StructType([
     StructField('parse_error', StringType(), True),
     StructField('n_nodes', IntegerType(), True),
     StructField('n_text_chars', IntegerType(), True),
+    # raw input length, carried through so per-bucket input lineage
+    # (rows_in/bytes_in) falls out of the output table — the resume job
+    # never re-scans the input for metrics (kernel is 1 row in : 1 row out)
+    StructField('n_raw_chars', IntegerType(), True),
 ])
 
 #: checkpoint/resume manifest: one row per completed bucket, with lineage

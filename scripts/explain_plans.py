@@ -106,6 +106,33 @@ def main() -> int:
     checks.append(('pdf_layout_extract', 'single aggregate Exchange',
                    pl_plan.count(') Exchange') == 1))
 
+    # 8. resume per-bucket stats: the output table is partitioned by bucket,
+    # so the post-write stats read must partition-prune to this run's
+    # buckets (no full-output rescan; input lineage rides the same scan via
+    # n_raw_chars — the input itself is never re-read for metrics)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        bucketed = with_bucket(
+            turns.select('conv_id', 'turn_idx', 'text'), 8)
+        bucketed.write.mode('overwrite').partitionBy('bucket').parquet(td)
+        fresh = (spark.read.parquet(td)
+                 .where(F.col('bucket').isin([0, 1, 2]))
+                 .groupBy('bucket').count())
+        add('resume_stats_partition_pruned', fresh,
+            must_contain=['PartitionFilters: [bucket'])
+
+    # 9. minhash candidate generation: LEAD over the band-bucket window —
+    # exactly one exchange feeds the window (band keys) and there is no
+    # join anywhere before the distinct (the r1 band self-join is gone)
+    from pyxml_spark.pipeline.dedup import (candidate_pairs, minhash_bands,
+                                            token_sets)
+    cand_plan = plan_of(candidate_pairs(minhash_bands(token_sets(docs))))
+    sections.append(('dedup_candidate_pairs', cand_plan))
+    checks.append(('dedup_candidate_pairs', 'no join (LEAD window instead)',
+                   'Join' not in cand_plan))
+    checks.append(('dedup_candidate_pairs', 'window over band buckets',
+                   'Window' in cand_plan))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:
