@@ -72,6 +72,14 @@ class CallbackParser:
 
     ``mode='html'`` (default) applies void-tag autoclose so ``<br>`` arrives
     as a ``handle_startendtag``; ``mode='xml'`` disables the void set.
+
+    With ``convert_charefs=False``, ``handle_charref``/``handle_entityref``
+    fire once per distinct reference while the containing text/comment/attr
+    value is being unescaped — i.e. BEFORE the (reference-stripped) value is
+    delivered to ``handle_data`` etc., not interleaved at their document
+    positions the way stdlib ``html.parser`` emits them; every occurrence of
+    a matched reference token is removed from the delivered value.
+    (Acceptable for a replacement of the reference's dead callback API.)
     """
 
     def __init__(self, *, convert_charefs: bool = True, mode: str = 'html',

@@ -1,0 +1,42 @@
+"""`xml.etree.ElementTree`-flavored aliases for code ported from the
+reference.
+
+Mirrors the export surface of the reference's compat layer
+(/root/reference/pyxml/compat/ElementTree.py:26-43): ``XML``/``PI``/
+``XMLParser`` aliases and ``SubElement``. The reference additionally
+monkey-patches the stdlib ``xml.etree`` modules in place
+(compat/__init__.py:11-28); that is deliberately NOT ported — mutating
+``sys.modules`` inside Spark workers would leak the patch across unrelated
+UDFs on a shared executor (SURVEY.md §2-E). Import from this module instead
+of patching.
+"""
+from __future__ import annotations
+
+from .compose import TreeComposer as TreeBuilder
+from .doc import Comment, Element, ProcessingInstruction
+from .parse import Parser, fromstring
+from .render import ElementTree, tostring
+
+__all__ = [
+    'tostring', 'fromstring', 'Element', 'Comment', 'ProcessingInstruction',
+    'ElementTree', 'TreeBuilder',
+    'XML', 'PI', 'XMLParser', 'SubElement',
+]
+
+#: alias for fromstring (reference compat/ElementTree.py:27)
+XML = fromstring
+
+#: alias for ProcessingInstruction (reference compat/ElementTree.py:30)
+PI = ProcessingInstruction
+
+#: the feed parser under its stdlib name (reference compat/ElementTree.py:33)
+XMLParser = Parser
+
+
+def SubElement(parent: Element, tag: str, attrib=None, **extra) -> Element:
+    """create a child of ``parent`` and append it (reference
+    compat/ElementTree.py:38-43: extra kwargs overlay the attrib dict)"""
+    attrib = {**(attrib or {}), **extra}
+    element = parent.makeelement(tag, attrib)
+    parent.append(element)
+    return element

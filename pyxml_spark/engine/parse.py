@@ -199,8 +199,15 @@ def fromstring(text, fix_broken: bool = True, **kwargs) -> Element:
 
 
 class Parser:
-    """feed()/close() shim matching the reference Parser protocol
-    (parser.py:95-147) for ported unit tests; one-shot per instance."""
+    """ingest shim matching the reference Parser protocol (parser.py:83-147)
+    for ported unit tests; one-shot per instance.
+
+    Three mutually-exclusive sources, with the reference's exclusion rules
+    and error strings (parser.py:84-121): ``feed`` accumulates into a memory
+    buffer, ``readfrom`` replaces the (unused) buffer with a file object,
+    ``set_stream`` assigns a byte-chunk iterable; ``close`` drains whichever
+    was set and parses.
+    """
 
     def __init__(self, target: Optional[TreeComposer] = None,
                  encoding: str = 'utf-8', fix_broken: bool = False,
@@ -209,15 +216,51 @@ class Parser:
         self.encoding = encoding
         self.fix_broken = fix_broken
         self.empty = empty
-        self._chunks: List[bytes] = []
+        self.stream = None
+        self.buffer = None  # BytesIO from feed(), or the readfrom() file
 
-    def feed(self, data):
+    def set_stream(self, stream) -> None:
+        if self.stream is not None:
+            raise RuntimeError('data-stream already set')
+        elif self.buffer is not None:
+            raise RuntimeError('memory buffer already assigned')
+        self.stream = stream
+
+    def feed(self, data) -> None:
+        from io import BytesIO
+        if self.stream is not None:
+            raise RuntimeError('data-stream already provided')
+        elif not self.buffer:
+            self.buffer = BytesIO()
+        elif not isinstance(self.buffer, BytesIO):
+            raise RuntimeError('`readfrom` already called instead')
         if isinstance(data, str):
             data = data.encode()
-        self._chunks.append(data)
+        self.buffer.write(data)
+
+    def readfrom(self, file) -> None:
+        from io import BytesIO
+        if self.stream is not None:
+            raise RuntimeError('data-stream already provided')
+        elif self.buffer:
+            if not isinstance(self.buffer, BytesIO):
+                raise RuntimeError('read buffer already replaced')
+            elif self.buffer.tell() != 0:
+                raise RuntimeError('memory buffer already in use')
+        self.buffer = file
+
+    def _drain(self) -> bytes:
+        from io import BytesIO
+        if self.stream is not None:
+            return b''.join(bytes(chunk) for chunk in self.stream)
+        if self.buffer is None:
+            return b''
+        if isinstance(self.buffer, BytesIO):
+            return self.buffer.getvalue()
+        return self.buffer.read()
 
     def close(self) -> Element:
-        pump = EventPump(b''.join(self._chunks), target=self.target,
+        pump = EventPump(self._drain(), target=self.target,
                          encoding=self.encoding, fix_broken=self.fix_broken,
                          empty=self.empty)
         return pump.run()

@@ -188,14 +188,33 @@ def synth_payload_batches(batches) -> Iterator:
 
 
 def extract_pdf_main(blocks, keep_kinds=('body', 'heading')):
-    """layout blocks -> (doc_id, main_text, n_body_chars): drop boilerplate
-    kinds (running headers, page-number footers), restore reading order,
-    join pages/blocks with newlines. Pure relational — Catalyst plans it,
-    DuckDB can oracle it."""
-    kept = blocks.where(F.col('kind').isin(*keep_kinds))
+    """layout blocks -> (doc_id, main_text, n_body_chars, parse_error):
+    drop boilerplate kinds (running headers, page-number footers), restore
+    reading order, join pages/blocks with newlines. Pure relational —
+    Catalyst plans it, DuckDB can oracle it.
+
+    Contract: a document whose payload failed to parse (single
+    kind='error' row) surfaces with null main_text/n_body_chars and its
+    parse_error set, so library callers joining only on this output see the
+    loss instead of the doc silently disappearing. Documents with blocks
+    but no kept kinds (all boilerplate) are absent, as before. Single
+    aggregation, no join — the error row rides the same groupBy."""
+    kept = F.col('kind').isin(*keep_kinds)
+    sel = blocks.where(kept | F.col('parse_error').isNotNull())
+    # collect_list drops nulls, so the when() keeps only content blocks
     ordered = F.array_sort(F.collect_list(
-        F.struct('page', 'block_idx', 'text')))
-    return (kept.groupBy('doc_id').agg(
+        F.when(kept, F.struct('page', 'block_idx', 'text'))))
+    agg = sel.groupBy('doc_id').agg(
         F.array_join(F.transform(ordered, lambda s: s.text), '\n')
+        .alias('joined'),
+        F.sum(F.when(kept, F.length('text')).otherwise(0))
+        .cast('long').alias('body_chars'),
+        F.min('parse_error').alias('parse_error'))
+    failed = F.col('parse_error').isNotNull()
+    return agg.select(
+        'doc_id',
+        F.when(failed, F.lit(None)).otherwise(F.col('joined'))
         .alias('main_text'),
-        F.sum(F.length('text')).cast('long').alias('n_body_chars')))
+        F.when(failed, F.lit(None)).otherwise(F.col('body_chars'))
+        .cast('long').alias('n_body_chars'),
+        'parse_error')

@@ -124,7 +124,11 @@ def main() -> int:
         'hw_ceiling_8_to_32': round(hw_8_32, 3),
         'eff_normalized_2_to_8': round(norm_2_8, 3),
         'eff_normalized_8_to_32': round(norm_8_32, 3),
-        'pass': norm_2_8 >= 0.8,
+        # gate on min(raw, normalized): normalization corrects for the
+        # hardware all-core ceiling but, because probe and job best-ofs may
+        # come from different throttle windows, it can exceed 1.0 — the raw
+        # floor keeps a genuine efficiency regression from hiding behind it
+        'pass': min(eff_2_8, norm_2_8) >= 0.8,
     }
     print(json.dumps(report))
 

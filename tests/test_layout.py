@@ -73,4 +73,9 @@ def test_spark_layout_extraction(spark):
                   for i in range(0, len(t), CHUNK_CHARS)] or ['']
         assert main[d].main_text == '\n'.join(chunks), d
         assert main[d].n_body_chars == len(t)
-    assert 99 not in main  # error rows carry no body blocks
+    # errored docs surface with null main_text instead of silently
+    # disappearing (callers joining on this output see the loss)
+    assert main[99].main_text is None
+    assert main[99].n_body_chars is None
+    assert main[99].parse_error is not None
+    assert all(main[d].parse_error is None for d in texts)
