@@ -347,6 +347,22 @@ def q_dedup_minhash_pairs(spark, sf_dir) -> DataFrame:
     return jaccard_pairs(toks, candidate_pairs(minhash_bands(toks)))
 
 
+def q_dedup_keeper(spark, sf_dir) -> DataFrame:
+    """end-to-end dedup resolution: MinHash-LSH candidates -> exact-jaccard
+    verified dup pairs (>= 0.8) -> connected components via iterative
+    min-label propagation -> (doc_id, keeper). The keeper is the
+    component-minimum doc_id; singletons keep themselves. Oracle: DuckDB
+    recursive CTE computing the same transitive closure."""
+    from pyxml_spark.pipeline.dedup import (candidate_pairs, dup_components,
+                                            jaccard_pairs, minhash_bands,
+                                            token_sets)
+    docs = _table(spark, sf_dir, 'documents')
+    toks = token_sets(docs)
+    dups = (jaccard_pairs(toks, candidate_pairs(minhash_bands(toks)))
+            .where(F.col('is_dup')).select('doc_a', 'doc_b'))
+    return dup_components(toks, dups)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     """token-set jaccard between paired docs (doc i vs doc 2i), integer
     scaled x10000 — the n-gram near-dup primitive"""
@@ -620,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'fingerprint_rolling': q_fingerprint_rolling,
         'minhash_band': q_minhash_band,
         'dedup_minhash_pairs': q_dedup_minhash_pairs,
+        'dedup_keeper': q_dedup_keeper,
         'ngram_jaccard_pairs': q_ngram_jaccard_pairs,
         'simhash16': q_simhash16,
         'embedding_near_dup': q_embedding_near_dup,
@@ -677,8 +694,10 @@ def _mh_sql_cte() -> str:
             f"WHERE trim(text) <> ''),\n b AS ({' UNION ALL '.join(selects)})")
 
 
-def _mh_pairs_sql() -> str:
-    """DuckDB twin of candidate_pairs + jaccard_pairs (rank-window LEADs)"""
+def _mh_pairs_cte() -> str:
+    """DuckDB CTE chain through ``p`` (candidate pairs with exact-jaccard
+    ingredients) — twin of candidate_pairs + jaccard_pairs (rank-window
+    LEADs); shared by the pairs and keeper oracles"""
     from pyxml_spark.pipeline.dedup import PAIR_WINDOW
     leads = ', '.join(f'LEAD(doc_id, {t}) OVER win AS s{t}'
                       for t in range(1, PAIR_WINDOW + 1))
@@ -699,7 +718,13 @@ def _mh_pairs_sql() -> str:
                      len(list_intersect(a.w, d.w)) AS i,
                      len(list_distinct(list_concat(a.w, d.w))) AS u
               FROM c JOIN w a ON a.doc_id = c.doc_a
-                     JOIN w d ON d.doc_id = c.doc_b)
+                     JOIN w d ON d.doc_id = c.doc_b)"""
+
+
+def _mh_pairs_sql() -> str:
+    """DuckDB twin of q_dedup_minhash_pairs"""
+    return f"""
+        {_mh_pairs_cte()}
         SELECT doc_a, doc_b,
                CAST(CASE WHEN u = 0 THEN 0
                     ELSE floor(i * 10000.0 / u) END AS BIGINT)
@@ -707,6 +732,28 @@ def _mh_pairs_sql() -> str:
                (CASE WHEN u = 0 THEN 0
                      ELSE floor(i * 10000.0 / u) END) >= 8000 AS is_dup
         FROM p"""
+
+
+def _mh_keeper_sql() -> str:
+    """DuckDB twin of q_dedup_keeper: the same candidate chain filtered to
+    verified dups (jaccard >= 0.8), then a recursive CTE computes each
+    doc's minimum reachable doc_id over the undirected dup graph — exactly
+    the connected-component keeper the Spark label propagation converges to"""
+    cte = _mh_pairs_cte().strip()
+    assert cte.startswith('WITH ')
+    cte = 'WITH RECURSIVE ' + cte[len('WITH '):]
+    return f"""
+        {cte},
+        d AS (SELECT doc_a, doc_b FROM p
+              WHERE (CASE WHEN u = 0 THEN 0
+                     ELSE floor(i * 10000.0 / u) END) >= 8000),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM d
+              UNION ALL SELECT doc_b, doc_a FROM d),
+        reach AS (SELECT doc_id, doc_id AS label FROM t
+                  UNION
+                  SELECT e.dst, reach.label
+                  FROM reach JOIN e ON e.src = reach.doc_id)
+        SELECT doc_id, MIN(label) AS keeper FROM reach GROUP BY doc_id"""
 
 
 _COS_SQL = ("list_inner_product(s.v, q.qv) "
@@ -974,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
             {_mh_sql_cte()}
             SELECT doc_id, band_id, band_key FROM b""",
         'dedup_minhash_pairs': _mh_pairs_sql(),
+        'dedup_keeper': _mh_keeper_sql(),
         'ngram_jaccard_pairs': f"""
             WITH w AS (SELECT doc_id, {words} AS w FROM documents)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

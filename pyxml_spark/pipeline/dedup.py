@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 __all__ = ['N_PERMS', 'N_BANDS', 'N_ROWS', 'PAIR_WINDOW', 'MH_PRIME',
            'perm_coeffs', 'token_sets', 'minhash_bands', 'candidate_pairs',
-           'jaccard_pairs']
+           'jaccard_pairs', 'dup_components']
 
 #: universal-hash modulus (Mersenne prime 2^31 - 1): keeps a_i*h + b_i
 #: inside exact int64 range in both Spark and DuckDB
@@ -121,6 +121,40 @@ def candidate_pairs(bands: DataFrame,
     return (staged.select('doc_a', F.explode('succ').alias('doc_b'))
             .where(F.col('doc_b').isNotNull())
             .distinct())
+
+
+def dup_components(tokens: DataFrame, dup_pairs: DataFrame,
+                   max_iters: int = 50) -> DataFrame:
+    """(doc_id, keeper): connected components of the dup-pair graph via
+    iterative min-label propagation; keeper = the component's minimum
+    doc_id, singletons keep themselves.
+
+    Each round sends every node's label across its edges and takes the
+    elementwise min — O(component diameter) rounds, one shuffle each, with
+    a driver-side convergence check on a single aggregate (labels only
+    decrease, so the label sum is a monotone convergence witness).
+    ``localCheckpoint`` truncates lineage between rounds; a production
+    cluster job would use a reliable checkpoint dir instead to survive
+    executor loss.
+    """
+    edges = dup_pairs.select(F.col('doc_a').alias('src'),
+                             F.col('doc_b').alias('dst'))
+    edges = edges.union(dup_pairs.select(F.col('doc_b').alias('src'),
+                                         F.col('doc_a').alias('dst')))
+    edges = edges.localCheckpoint(eager=True)
+    labels = tokens.select('doc_id', F.col('doc_id').alias('label'))
+    prev_sum = None
+    for _ in range(max_iters):
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum('label')).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        msgs = (edges.join(labels.withColumnRenamed('doc_id', 'src'), 'src')
+                .select(F.col('dst').alias('doc_id'), 'label'))
+        labels = (labels.union(msgs)
+                  .groupBy('doc_id').agg(F.min('label').alias('label')))
+    return labels.select('doc_id', F.col('label').alias('keeper'))
 
 
 def jaccard_pairs(tokens: DataFrame, cands: DataFrame,

@@ -112,3 +112,28 @@ def test_identical_sets_share_all_bands(spark):
           bands.where(F.col('doc_id') == 3).collect()}
     assert k1 == k2, 'same token set => same band keys'
     assert not (k1 & k3), 'disjoint vocab => no shared band'
+
+
+def test_keeper_matches_union_find(spark, corpus):
+    """dup_components must equal an exact union-find over the same verified
+    dup pairs (component minimum as keeper, singletons keep themselves)"""
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.dedup import (candidate_pairs, dup_components,
+                                            jaccard_pairs, minhash_bands,
+                                            token_sets)
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    toks = token_sets(docs)
+    dups = (jaccard_pairs(toks, candidate_pairs(minhash_bands(toks)))
+            .where(F.col('is_dup')).select('doc_a', 'doc_b'))
+    pairs = [(r.doc_a, r.doc_b) for r in dups.collect()]
+    got = {r.doc_id: r.keeper
+           for r in dup_components(toks, dups).collect()}
+    comp = _components(pairs, corpus.keys())
+    # map each union-find root to its component minimum
+    members = {}
+    for d, root in comp.items():
+        members.setdefault(root, []).append(d)
+    want = {d: min(members[root]) for d, root in comp.items()}
+    assert got == want
+    # there must be real multi-doc components on this corpus
+    assert sum(1 for d, k in got.items() if k != d) > 50
