@@ -15,6 +15,15 @@ repair path are preserved, including these verified quirks:
 * ``close`` auto-closes the whole open stack under ``fix_broken``
   (builder.py:137-148).
 
+The implementation is structured differently from the reference: text/tail
+settling is one slot-generic path (``getattr``/``setattr`` over the slot
+name) instead of two mirrored branches, mismatched-end repair is an
+iterative pop loop instead of recursion, and the multi-root document wrap
+is factored out of adoption. Differential fuzzing (tests/test_builder_ported,
+test_fuzz_parity, test_oracle_diff) pins the observable behavior —
+including the exact ''-assignment side effects of repeated settles during
+repair — to the reference byte for byte.
+
 Extension over the reference: optional span tracking — ``data`` accepts the
 raw-payload char span of each fragment and ``_settle`` attaches the collected
 spans to the element's ``text_spans``/``tail_spans``.
@@ -70,58 +79,59 @@ class TreeComposer:
     # ------------------------------------------------------------- internal
 
     def _settle(self):
-        """assign buffered text to last.text or last.tail; mirrors the
-        reference `_flush` including the always-join '' behavior"""
-        if self.last is None:
+        """assign the buffered text into ``last.text`` or ``last.tail`` —
+        one slot-generic path for both destinations. Mirrors the observable
+        contract of the reference ``_flush``: always joins (the reference's
+        empty-buffer guard is dead code, so '' lands where no text came),
+        and under fix_broken a duplicate assignment concatenates while
+        keeping the buffer."""
+        last = self.last
+        if last is None:
             self.frags = []
             self.spans = []
             return
+        slot = 'tail' if self.in_tail else 'text'
         text = ''.join(self.frags)
-        spans = self.spans
-        if self.in_tail:
-            if self.last.tail:
-                if self.fix_broken:
-                    self.last.tail += text
-                    # reference keeps the buffer on this path (builder.py:47-49)
-                    return
-                raise ComposeError('Element tail already assigned')
-            self.last.tail = text
-            if spans:
-                self.last.tail_spans = (self.last.tail_spans or []) + spans
-        else:
-            if self.last.text:
-                if self.fix_broken:
-                    self.last.text += text
-                    return
-                raise ComposeError('Element text already assigned')
-            self.last.text = text
-            if spans:
-                self.last.text_spans = (self.last.text_spans or []) + spans
+        existing = getattr(last, slot)
+        if existing:
+            if not self.fix_broken:
+                raise ComposeError(f'Element {slot} already assigned')
+            # repair: concatenate and deliberately keep the buffer
+            # (reference builder.py:47-49)
+            setattr(last, slot, existing + text)
+            return
+        setattr(last, slot, text)
+        if self.spans:
+            span_slot = slot + '_spans'
+            setattr(last, span_slot,
+                    (getattr(last, span_slot) or []) + self.spans)
         self.frags = []
         self.spans = []
 
+    def _wrap_multiroot(self):
+        """second toplevel element under fix_broken: nest the current root
+        inside a synthetic ``document`` shell that becomes the new root"""
+        shell = Element('document')
+        shell.text = '\n'
+        shell.append(self.root)
+        self.root = shell
+        self.open.insert(0, shell)
+
     def _adopt(self, elem: Element):
-        """place a finished/opened element into the tree, wrapping multiple
-        roots into a synthetic document under fix_broken"""
+        """place a finished/opened element into the tree"""
         self.last = elem
-        if self.open:
-            self.open[-1].append(elem)
-        elif self.root is None:
-            self.root = elem
-        elif self.fix_broken:
-            shell = Element('document')
-            shell.text = '\n'
-            shell.append(self.root)
-            self.root = shell
-            self.open.insert(0, shell)
-            self.open[-1].append(elem)
-        else:
-            raise ComposeError('more than one tree present')
+        if not self.open:
+            if self.root is None:
+                self.root = elem
+                return
+            if not self.fix_broken:
+                raise ComposeError('more than one tree present')
+            self._wrap_multiroot()
+        self.open[-1].append(elem)
 
     def _inline(self, factory, *args):
         self._settle()
-        elem = factory(*args)
-        self._adopt(elem)
+        self._adopt(factory(*args))
         self.in_tail = True
 
     # ----------------------------------------------------------- event API
@@ -134,20 +144,24 @@ class TreeComposer:
         self.in_tail = False
 
     def end(self, tag: str):
-        if not self.open:
-            if self.fix_broken:
-                return
-            raise ComposeError(f'Unexpected End. Tree Is Empty: {tag}')
-        self._settle()
-        self.last = self.open.pop()
-        if self.last.tag != tag:
-            if not self.fix_broken:
-                raise ComposeError(
-                    f'End Tag Mismatch (Expected {self.last.tag}, Got {tag})')
-            # auto-close intermediates when the tag exists deeper in the stack;
-            # otherwise the stray end already consumed the current element
-            if any(e.tag == tag for e in self.open):
-                return self.end(tag)
+        # iterative form of the reference's recursive repair: keep settling
+        # and popping while the wanted tag exists deeper in the stack; a
+        # stray end that matches nothing still consumes the current element
+        while True:
+            if not self.open:
+                if self.fix_broken:
+                    return
+                raise ComposeError(f'Unexpected End. Tree Is Empty: {tag}')
+            self._settle()
+            self.last = self.open.pop()
+            if self.last.tag != tag:
+                if not self.fix_broken:
+                    raise ComposeError(
+                        f'End Tag Mismatch (Expected {self.last.tag}, '
+                        f'Got {tag})')
+                if any(e.tag == tag for e in self.open):
+                    continue
+            break
         self.in_tail = True
 
     def startend(self, tag: str, attrs: Dict[str, str]):
