@@ -1,0 +1,90 @@
+"""spark-submit entry point for corpus-level near-duplicate resolution.
+
+Runs the full MinHash-LSH dedup pipeline (pipeline/dedup.py) over a
+documents-shaped table: token sets -> 64-perm signatures (one md5/token,
+single aggregate pass) -> 8x8 band keys -> rank-window candidate pairs ->
+exact-jaccard verification -> connected-component keeper assignment.
+Writes two tables: the verified dup pairs and the (doc_id, keeper) map a
+downstream training-data job anti-joins against.
+
+Cluster launch:
+    spark-submit --py-files dist/pyxml_spark.zip pyxml_spark/jobs/dedup.py \
+        --input <parquet-path> --id-col doc_id --text-col text \
+        --output <dir>
+
+Sandbox smoke (uses the driver testdata):
+    python3 pyxml_spark/jobs/dedup.py \
+        --input /root/testdata/sf0.001/documents.parquet --cpus 8
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main(argv=None) -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--input', required=True, help='parquet path')
+    ap.add_argument('--id-col', default='doc_id')
+    ap.add_argument('--text-col', default='text')
+    ap.add_argument('--output', default=None)
+    ap.add_argument('--dup-threshold-x10k', type=int, default=8000)
+    ap.add_argument('--pair-window', type=int, default=None,
+                    help='per-bucket successor cap (default dedup.PAIR_WINDOW)')
+    ap.add_argument('--cpus', type=int, default=int(os.environ.get(
+        'SPARK_GRAFT_CPUS', '8')))
+    args = ap.parse_args(argv)
+
+    from pyxml_spark.jobs.extract import build_session
+    from pyxml_spark.pipeline.dedup import (PAIR_WINDOW, candidate_pairs,
+                                            dup_components, jaccard_pairs,
+                                            minhash_bands, token_sets)
+    from pyspark.sql import functions as F
+
+    spark = build_session(args.cpus, app='pyxml-spark-dedup')
+    try:
+        out_dir = args.output or tempfile.mkdtemp(prefix='pyxml_dedup_')
+        t0 = time.time()
+        docs = spark.read.parquet(args.input)
+        toks = token_sets(docs, text_col=args.text_col, id_col=args.id_col)
+        cands = candidate_pairs(minhash_bands(toks),
+                                pair_window=args.pair_window or PAIR_WINDOW)
+        pairs = jaccard_pairs(toks, cands,
+                              dup_threshold_x10k=args.dup_threshold_x10k)
+        pairs_path = os.path.join(out_dir, 'dup_pairs.parquet')
+        pairs.write.mode('overwrite').parquet(pairs_path)
+
+        dups = (spark.read.parquet(pairs_path)
+                .where(F.col('is_dup')).select('doc_a', 'doc_b'))
+        keepers = dup_components(toks, dups)
+        keepers_path = os.path.join(out_dir, 'keepers.parquet')
+        keepers.write.mode('overwrite').parquet(keepers_path)
+
+        kept = spark.read.parquet(keepers_path)
+        n_docs = kept.count()
+        n_dups = kept.where(F.col('doc_id') != F.col('keeper')).count()
+        print(json.dumps({
+            'docs': n_docs,
+            'candidate_pairs': spark.read.parquet(pairs_path).count(),
+            'dup_docs_removed': n_dups,
+            'survivors': n_docs - n_dups,
+            'pairs_path': pairs_path,
+            'keepers_path': keepers_path,
+            'wall_seconds': round(time.time() - t0, 3),
+        }))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -23,7 +23,7 @@ from .schema import EXTRACTION_SCHEMA, TRANSCRIPTS_SCHEMA
 
 __all__ = ['read_transcripts_stream', 'extract_stream',
            'conversation_rollup_stream', 'conversation_progress_stream',
-           'run_file_stream']
+           'dedup_stream', 'run_file_stream']
 
 
 def read_transcripts_stream(spark: SparkSession, path: str,
@@ -87,6 +87,26 @@ def conversation_progress_stream(stream: DataFrame,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     'update',
                                     GroupStateTimeout.NoTimeout))
+
+
+def dedup_stream(stream: DataFrame, watermark: str = '30 minutes',
+                 fingerprint=None) -> DataFrame:
+    """streaming exact dedup: drop turns whose content fingerprint was
+    already seen within the watermark horizon.
+
+    Built on ``dropDuplicatesWithinWatermark`` so the dedup state store is
+    bounded by the event-time horizon (an unbounded ``dropDuplicates``
+    would grow state forever at 10^12-turn scale). The fingerprint defaults
+    to md5 of the payload — the streaming face of the batch
+    ``dedup_exact`` operator; near-dup (MinHash) dedup stays a batch
+    concern because band joins need the whole corpus.
+    """
+    fp = fingerprint if fingerprint is not None \
+        else F.md5(F.col('text').cast('binary'))
+    return (stream
+            .withColumn('fp', fp)
+            .withWatermark('ts', watermark)
+            .dropDuplicatesWithinWatermark(['fp']))
 
 
 def run_file_stream(spark: SparkSession, input_path: str, output_path: str,

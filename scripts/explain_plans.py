@@ -133,6 +133,17 @@ def main() -> int:
     checks.append(('dedup_candidate_pairs', 'window over band buckets',
                    'Window' in cand_plan))
 
+    # 10. bucketed ANN paths: the (single-row, exploded-probe) query side
+    # must broadcast into the corpus join — the corpus is never shuffled
+    for qname, fn in (('ann_lsh_topk', entry.q_ann_lsh_topk),
+                      ('ann_ivf_topk', entry.q_ann_ivf_topk)):
+        ann_plan = plan_of(fn(spark, sf_dir))
+        sections.append((qname, ann_plan))
+        checks.append((qname, 'broadcast probe join',
+                       'BroadcastHashJoin' in ann_plan))
+        checks.append((qname, 'top-k without global sort',
+                       'TakeOrderedAndProject' in ann_plan))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:

@@ -181,3 +181,31 @@ def test_stateful_progress_stream(spark, tmp_path):
     want = pdf.groupby('conv_id').size().to_dict()
     got = {r.conv_id: r.n_turns for r in rows}
     assert got == want
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based exact dedup: duplicate payloads
+    within the watermark horizon are emitted once; state is horizon-bounded"""
+    import pandas as pd
+    from pyxml_spark.pipeline import TRANSCRIPTS_SCHEMA, gen_transcripts_pdf
+    from pyxml_spark.pipeline.streaming import (dedup_stream,
+                                                read_transcripts_stream)
+
+    pdf = gen_transcripts_pdf(120, seed=11)
+    # force exact duplicates: second half repeats the first half's payloads
+    half = len(pdf) // 2
+    pdf.loc[half:half * 2 - 1, 'text'] = list(pdf['text'][:half])
+    inp = os.path.join(tmp_path, 'dedup_in')
+    spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA) \
+        .repartition(4).write.parquet(inp)
+
+    deduped = dedup_stream(read_transcripts_stream(spark, inp))
+    q = (deduped.writeStream.format('memory').queryName('dedup_test')
+         .outputMode('append').trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql('select fp, text from dedup_test').collect()
+    fps = [r.fp for r in got]
+    assert len(fps) == len(set(fps)), 'no fingerprint emitted twice'
+    distinct_payloads = len(set(pdf['text']))
+    assert len(fps) == distinct_payloads
