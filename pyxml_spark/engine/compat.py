@@ -20,7 +20,7 @@ from .render import ElementTree, tostring
 __all__ = [
     'tostring', 'fromstring', 'Element', 'Comment', 'ProcessingInstruction',
     'ElementTree', 'TreeBuilder',
-    'XML', 'PI', 'XMLParser', 'SubElement',
+    'XML', 'PI', 'XMLParser', 'SubElement', 'patched',
 ]
 
 #: alias for fromstring (reference compat/ElementTree.py:27)
@@ -40,3 +40,41 @@ def SubElement(parent: Element, tag: str, attrib=None, **extra) -> Element:
     element = parent.makeelement(tag, attrib)
     parent.append(element)
     return element
+
+
+def patched():
+    """scoped equivalent of the reference's permanent ``monkey_patch``:
+    within the ``with`` block, ``import xml.etree.ElementTree`` resolves to
+    this module; on exit the original stdlib module is restored exactly.
+
+    Driver-side convenience for running reference-targeting code verbatim.
+    Never use inside Spark UDFs — a worker process is shared across
+    unrelated tasks, and even a scoped patch is process-global while held.
+    """
+    import contextlib
+    import sys
+
+    @contextlib.contextmanager
+    def _patch():
+        name = 'xml.etree.ElementTree'
+        this = sys.modules[__name__]
+        had = name in sys.modules
+        saved = sys.modules.get(name)
+        parent = None
+        if had:
+            import xml.etree
+            parent = xml.etree
+        sys.modules[name] = this
+        if parent is not None:
+            parent.ElementTree = this
+        try:
+            yield this
+        finally:
+            if had:
+                sys.modules[name] = saved
+                if parent is not None:
+                    parent.ElementTree = saved
+            else:
+                sys.modules.pop(name, None)
+
+    return _patch()

@@ -145,3 +145,23 @@ def test_exclusion_errors_match_reference():
         ours = probe(Parser, *ops)
         ref = probe(pyxml.Parser, *ops)
         assert ours == ref, (ours, ref)
+
+
+def test_patched_scopes_and_restores():
+    """patched() is the scoped equivalent of the reference's permanent
+    monkey_patch: inside the block the stdlib import resolves to our
+    module; afterwards the original is back untouched"""
+    import sys
+    import xml.etree.ElementTree as stdlib_et
+    orig = sys.modules['xml.etree.ElementTree']
+    from pyxml_spark.engine import compat
+    with compat.patched():
+        import xml.etree.ElementTree as inside
+        assert inside is compat
+        root = inside.XML(b'<a><b>hi</b></a>')
+        assert root.tag == 'a'
+    import xml.etree.ElementTree as after
+    assert after is orig
+    assert sys.modules['xml.etree.ElementTree'] is orig
+    # stdlib still functional
+    assert stdlib_et.fromstring('<x/>').tag == 'x'
