@@ -20,8 +20,7 @@ from collections.abc import Callable
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 import sys  # noqa: E402
@@ -582,6 +581,52 @@ def q_join_rollup(spark, sf_dir) -> DataFrame:
         .cast('double').alias('sum_price')))
 
 
+def q_region_revenue(spark, sf_dir) -> DataFrame:
+    """multi-join rollup across the dimension chain (orders -> customer ->
+    nation -> region): shuffle join only on the big fact-dim edge,
+    broadcast the small dims so Catalyst never shuffles them; decimal-exact
+    revenue"""
+    orders = _table(spark, sf_dir, 'orders')
+    cust = _table(spark, sf_dir, 'customer').select('c_custkey',
+                                                    'c_nationkey')
+    nation = _table(spark, sf_dir, 'nation').select('n_nationkey', 'n_name',
+                                                    'n_regionkey')
+    region = _table(spark, sf_dir, 'region')
+    j = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation),
+               F.col('c_nationkey') == F.col('n_nationkey'))
+         .join(F.broadcast(region),
+               F.col('n_regionkey') == F.col('r_regionkey')))
+    return (j.groupBy('r_name', 'n_name').agg(
+        F.count('*').alias('n_orders'),
+        F.sum(F.col('o_totalprice').cast('decimal(18,2)'))
+        .cast('double').alias('revenue')))
+
+
+def q_part_brand_stats(spark, sf_dir) -> DataFrame:
+    """per-brand part statistics (integer sizes + decimal-exact price sum)"""
+    part = _table(spark, sf_dir, 'part')
+    return (part.groupBy('p_brand').agg(
+        F.count('*').alias('n_parts'),
+        F.min('p_size').cast('long').alias('min_size'),
+        F.max('p_size').cast('long').alias('max_size'),
+        F.sum(F.col('p_retailprice').cast('decimal(18,2)'))
+        .cast('double').alias('sum_price')))
+
+
+def q_supplier_nation(spark, sf_dir) -> DataFrame:
+    """suppliers per nation with decimal-exact account-balance totals
+    (broadcast the nation dim)"""
+    supp = _table(spark, sf_dir, 'supplier')
+    nation = _table(spark, sf_dir, 'nation').select('n_nationkey', 'n_name')
+    j = supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+    return (j.groupBy('n_name').agg(
+        F.count('*').alias('n_suppliers'),
+        F.sum(F.col('s_acctbal').cast('decimal(18,2)'))
+        .cast('double').alias('total_acctbal')))
+
+
 def q_events_rollup(spark, sf_dir) -> DataFrame:
     events = _table(spark, sf_dir, 'events')
     return (events.groupBy('user_id', 'event_type').agg(
@@ -644,6 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_lsh_topk': q_ann_lsh_topk,
         'ann_ivf_topk': q_ann_ivf_topk,
         'join_rollup': q_join_rollup,
+        'region_revenue': q_region_revenue,
+        'part_brand_stats': q_part_brand_stats,
+        'supplier_nation': q_supplier_nation,
         'events_rollup': q_events_rollup,
         'ordered_turns': q_ordered_turns,
     }
@@ -1069,6 +1117,28 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS sum_price
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority""",
+        'region_revenue': """
+            SELECT r_name, n_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name""",
+        'part_brand_stats': """
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   CAST(MIN(p_size) AS BIGINT) AS min_size,
+                   CAST(MAX(p_size) AS BIGINT) AS max_size,
+                   CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price
+            FROM part GROUP BY p_brand""",
+        'supplier_nation': """
+            SELECT n_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name""",
         'events_rollup': """
             SELECT user_id, event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
