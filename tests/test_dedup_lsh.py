@@ -137,3 +137,56 @@ def test_keeper_matches_union_find(spark, corpus):
     assert got == want
     # there must be real multi-doc components on this corpus
     assert sum(1 for d, k in got.items() if k != d) > 50
+
+
+def test_spark_pipeline_matches_python_model(spark):
+    """differential check: the whole Spark band/candidate pipeline against
+    an independent pure-Python model of the same scheme (md5 base hash,
+    universal-hash perms, b x r banding, rank-window pairs) on small random
+    corpora — catches engine-specific defects (hash parity, lambda arity,
+    window semantics) that the DuckDB oracle alone could share"""
+    import hashlib
+    import random
+    from pyxml_spark.pipeline.dedup import (MH_PRIME, N_BANDS, N_PERMS,
+                                            N_ROWS, PAIR_WINDOW,
+                                            candidate_pairs, minhash_bands,
+                                            perm_coeffs, token_sets)
+
+    def model(texts):
+        cs = [perm_coeffs(i) for i in range(N_PERMS)]
+        bands = {}
+        for d, t in texts:
+            ws = set(t.split())
+            if not ws:
+                continue
+            hs = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                  % MH_PRIME for w in ws]
+            mins = [min((a * h + b) % MH_PRIME for h in hs) for a, b in cs]
+            for j in range(N_BANDS):
+                key = (j, '-'.join(str(m) for m in
+                                   mins[j * N_ROWS:(j + 1) * N_ROWS]))
+                bands.setdefault(key, []).append(d)
+        pairs = set()
+        for mem in bands.values():
+            mem.sort()
+            for i, a in enumerate(mem):
+                for b in mem[i + 1:i + 1 + PAIR_WINDOW]:
+                    pairs.add((a, b))
+        membership = {(d, j, k) for (j, k), mem in bands.items()
+                      for d in mem}
+        return membership, pairs
+
+    rng = random.Random(2024)
+    vocab = [f'w{i}' for i in range(40)]
+    for case in range(3):
+        texts = [(d, ' '.join(rng.choices(vocab, k=rng.randint(0, 12))))
+                 for d in range(30)]
+        df = spark.createDataFrame(texts, 'doc_id long, text string')
+        toks = token_sets(df)
+        got_bands = {(r.doc_id, r.band_id, r.band_key)
+                     for r in minhash_bands(toks).collect()}
+        got_pairs = {(r.doc_a, r.doc_b)
+                     for r in candidate_pairs(minhash_bands(toks)).collect()}
+        want_bands, want_pairs = model(texts)
+        assert got_bands == want_bands, f'case {case}'
+        assert got_pairs == want_pairs, f'case {case}'
