@@ -27,37 +27,52 @@ def _render(write: Callable[[str], None],
             short_empty: bool,
             no_end_tags: Set[str],
             no_short: Set[str]):
-    """recursive writer (etree.py:49-95)"""
-    if isinstance(elem, _Marker):
-        if isinstance(elem, Comment):
-            write('<!-- ' + escape_cdata(elem.text or '') + '-->')
-        elif isinstance(elem, Declaration):
-            write('<!' + escape_cdata(elem.text or '') + '>')
-        elif isinstance(elem, ProcessingInstruction):
-            write('<? ' + (elem.text or '') + ' ?>')
-        else:
-            raise RuntimeError('unsupported element', elem)
-        write(escape_cdata(elem.tail or ''))
-        return
-    skip_end = elem.tag in no_end_tags
-    skip_short = elem.tag in no_short
-    write('<' + elem.tag)
-    for name, value in elem.attrib.items():
-        write(' ' + name)
-        if value and value != 'true':
-            write('="' + escape_attrib(value) + '"')
-    if short_empty and not skip_end and not skip_short \
-            and not len(elem) and not elem.text:
-        write('/>')
-        write(escape_cdata(elem.tail or ''))
-        return
-    write('>')
-    write(escape_cdata(elem.text or ''))
-    for child in elem:
-        _render(write, child, short_empty, no_end_tags, no_short)
-    if not skip_end:
-        write('</' + elem.tag + '>')
-    write(escape_cdata(elem.tail or ''))
+    """iterative writer with an explicit work stack (byte output matches
+    etree.py:49-95 exactly; the explicit stack keeps serialization linear
+    on pathologically deep trees where recursion would hit the interpreter
+    limit — mirroring the parser's iterative guarantee)"""
+    # work items: Element to open, or a literal string to emit (used for
+    # the deferred end-tag + tail after a subtree)
+    work = [elem]
+    pop = work.pop
+    push = work.append
+    while work:
+        item = pop()
+        if type(item) is str:
+            write(item)
+            continue
+        if isinstance(item, _Marker):
+            if isinstance(item, Comment):
+                write('<!-- ' + escape_cdata(item.text or '') + '-->')
+            elif isinstance(item, Declaration):
+                write('<!' + escape_cdata(item.text or '') + '>')
+            elif isinstance(item, ProcessingInstruction):
+                write('<? ' + (item.text or '') + ' ?>')
+            else:
+                raise RuntimeError('unsupported element', item)
+            write(escape_cdata(item.tail or ''))
+            continue
+        tag = item.tag
+        skip_end = tag in no_end_tags
+        write('<' + tag)
+        for name, value in item.attrib.items():
+            write(' ' + name)
+            if value and value != 'true':
+                write('="' + escape_attrib(value) + '"')
+        children = item.children
+        if short_empty and not skip_end and tag not in no_short \
+                and not children and not item.text:
+            write('/>')
+            write(escape_cdata(item.tail or ''))
+            continue
+        write('>')
+        write(escape_cdata(item.text or ''))
+        # after the subtree: end tag (unless void) then the tail
+        push(escape_cdata(item.tail or ''))
+        if not skip_end:
+            push('</' + tag + '>')
+        for child in reversed(children):
+            push(child)
 
 
 def serialize_xml(write, element, short_empty_elements: bool = False):

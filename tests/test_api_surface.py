@@ -157,3 +157,21 @@ def test_single_char_attr_name_quirk():
     doc = b'<r a="1" bb="2">x</r>'
     assert dict(fromstring(doc).attrib) == dict(pyxml.fromstring(doc).attrib)
     assert fromstring(doc).attrib == {'a="1"': 'true', 'bb': '2'}
+
+
+def test_serialize_deep_tree_iterative():
+    """serialization must stay linear on pathologically deep trees (the
+    parser already guarantees this; the writer uses an explicit stack)"""
+    import sys
+    from pyxml_spark.engine.doc import Element
+    from pyxml_spark.engine.render import tostring
+    limit = sys.getrecursionlimit()
+    root = cur = Element('r', {})
+    for _ in range(limit * 4):
+        child = Element('d', {})
+        cur.append(child)
+        cur = child
+    cur.text = 'deep'
+    out = tostring(root, method='html')
+    assert out.count(b'<d>') == limit * 4
+    assert b'deep' in out
