@@ -422,6 +422,39 @@ _ATTR_SCHEMA = StructType([
     StructField('cls', StringType()),
 ])
 
+_XFN_SCHEMA = StructType([
+    StructField('doc_id', LongType()),
+    StructField('cls_k', StringType()),
+    StructField('z_upper', StringType()),
+    StructField('z_first', StringType()),
+    StructField('n_b', StringType()),
+    StructField('second_cls', StringType()),
+])
+
+#: the xpath-function battery (each reference-diffed; see q_xpath_functions).
+#: count() needs >= 2 matches for a numeric result (1 match returns True —
+#: reference quirk, verified identical), hence the doc_id%4+2 repeat below
+_XFN_PATHS = ('//p[starts-with(@class, "k")]/@class',
+              '//p[contains(@class, "z")]/upper-case(@class)',
+              '//p[2]/substring(@class, 0, 1)',
+              '//div/count(b)',
+              '//p[2]/@class')
+
+
+def _xpath_fn_batches(batches):
+    from pyxml_spark.engine.html import fromstring
+    from pyxml_spark.engine.xq import compile_path, run_steps
+    progs = [compile_path(p) for p in _XFN_PATHS]  # compiled once per worker
+    for pdf in batches:
+        cols = {name: [] for name in
+                ('cls_k', 'z_upper', 'z_first', 'n_b', 'second_cls')}
+        for payload in pdf['payload']:
+            root = fromstring(payload.encode())
+            for name, prog in zip(cols, progs):
+                hits = run_steps(prog, (root,))
+                cols[name].append(str(hits[0]) if hits else None)
+        yield pd.DataFrame({'doc_id': pdf['doc_id'].values, **cols})
+
 
 def _attr_batches(batches):
     from pyxml_spark.engine.html import fromstring
@@ -449,6 +482,22 @@ def q_xpath_attr_extract(spark, sf_dir) -> DataFrame:
 
 
 _HEX = '0123456789abcdef'
+
+
+def q_xpath_functions(spark, sf_dir) -> DataFrame:
+    """driver-visible xpath FUNCTION battery (starts-with, contains,
+    upper-case, the 0-based slice substring quirk, count, last(), [N]
+    indexing) over a constructed payload; every path's semantics are
+    reference-diffed and the expected values are arithmetic in doc_id"""
+    docs = _table(spark, sf_dir, 'documents')
+    payload = F.concat(
+        F.lit('<div><p class="k'), (F.col('doc_id') % 7).cast('string'),
+        F.lit('">alpha</p><p class="z'), (F.col('doc_id') % 3).cast('string'),
+        F.lit('">beta</p>'),
+        F.repeat(F.lit('<b>x</b>'), (F.col('doc_id') % 4 + 2).cast('int')),
+        F.lit('</div>'))
+    src = docs.select('doc_id', payload.alias('payload'))
+    return src.mapInPandas(_xpath_fn_batches, schema=_XFN_SCHEMA)
 
 
 def q_simhash16(spark, sf_dir) -> DataFrame:
@@ -663,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_dirty': q_extract_dirty,
         'xpath_count': q_xpath_count,
         'xpath_attr_extract': q_xpath_attr_extract,
+        'xpath_functions': q_xpath_functions,
         'extract_spans': q_extract_spans,
         'node_table_stats': q_node_table_stats,
         'serialize_roundtrip': q_serialize_roundtrip,
@@ -911,6 +961,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         'xpath_attr_extract': """
             SELECT doc_id, 'k' || CAST(doc_id % 7 AS VARCHAR) AS cls
+            FROM documents""",
+        'xpath_functions': """
+            SELECT doc_id,
+                   'k' || CAST(doc_id % 7 AS VARCHAR) AS cls_k,
+                   'Z' || CAST(doc_id % 3 AS VARCHAR) AS z_upper,
+                   'z' AS z_first,
+                   CAST(doc_id % 4 + 2 AS VARCHAR) AS n_b,
+                   'z' || CAST(doc_id % 3 AS VARCHAR) AS second_cls
             FROM documents""",
         'extract_spans': """
             WITH t AS (SELECT doc_id,
