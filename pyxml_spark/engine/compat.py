@@ -16,10 +16,13 @@ from .compose import TreeComposer as TreeBuilder
 from .doc import Comment, Element, ProcessingInstruction
 from .parse import Parser, fromstring
 from .render import ElementTree, tostring
+# the ElementPath face (reference compat/ElementPath.py:4-12)
+from .xq import find, findall, findtext, iterfind
 
 __all__ = [
     'tostring', 'fromstring', 'Element', 'Comment', 'ProcessingInstruction',
     'ElementTree', 'TreeBuilder',
+    'iterfind', 'find', 'findall', 'findtext',
     'XML', 'PI', 'XMLParser', 'SubElement', 'patched',
 ]
 

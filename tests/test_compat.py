@@ -165,3 +165,14 @@ def test_patched_scopes_and_restores():
     assert sys.modules['xml.etree.ElementTree'] is orig
     # stdlib still functional
     assert stdlib_et.fromstring('<x/>').tag == 'x'
+
+
+def test_elementpath_face():
+    """the reference's compat/ElementPath re-exports (iterfind/find/
+    findall/findtext) are available from the compat module"""
+    from pyxml_spark.engine import compat
+    root = compat.XML(b'<a><b>one</b><b>two</b></a>')
+    assert [e.text for e in compat.findall(root, '//b')] == ['one', 'two']
+    assert compat.find(root, '//b').text == 'one'
+    assert compat.findtext(root, '//b') == 'one'
+    assert [e.text for e in compat.iterfind(root, '//b')] == ['one', 'two']
