@@ -124,10 +124,17 @@ class Element:
             stack.extend(reversed(node.children))
 
     def itertext(self) -> Iterator[str]:
-        if self.text:
-            yield self.text
-        for child in self.children:
-            yield from child.itertext()
+        """document-order text (no tails), skipping comment/declaration/PI
+        subtrees like the reference (element.py:136-141, 189-190); explicit
+        stack so pathologically deep trees stay within the recursion limit"""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, _Marker):
+                continue
+            if node.text:
+                yield node.text
+            stack.extend(reversed(node.children))
 
     def prettify(self):
         prettify(self)

@@ -175,3 +175,6 @@ def test_serialize_deep_tree_iterative():
     out = tostring(root, method='html')
     assert out.count(b'<d>') == limit * 4
     assert b'deep' in out
+    # traversals must be iterative too
+    assert list(root.itertext()) == ['deep']
+    assert sum(1 for _ in root.iter('d')) == limit * 4
