@@ -14,12 +14,11 @@ def test_queries_have_oracles():
     assert qs, 'queries() must not be empty'
     missing = set(oracles) - set(qs)
     assert not missing, f'oracles without queries: {missing}'
-    # every query is either oracle-checked or explicitly rows-only
-    # non-SQL-expressible: LSH probing / KMeans quantizer
-    ROWS_ONLY_OK = {'ann_lsh_topk', 'ann_ivf_topk'}
+    # round 2: every query carries an oracle (the ANN paths gained SQL
+    # twins — hyperplane literals / grid quantizer)
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= ROWS_ONLY_OK, \
-        f'unexpected rows-only queries (add oracle or whitelist): {rows_only}'
+    assert not rows_only, \
+        f'rows-only queries (every operator must carry an oracle): {rows_only}'
 
 
 def test_callables():
