@@ -301,6 +301,38 @@ def q_lang_id(spark, sf_dir) -> DataFrame:
                     .otherwise(F.lit('unk')).alias('predicted'))
 
 
+def q_source_boilerplate_strip(spark, sf_dir) -> DataFrame:
+    """C4-style corpus-level boilerplate removal: tokens occurring in
+    >= 90% of a source's documents are source boilerplate (site chrome,
+    repeated disclaimers); strip them and reassemble the text in token
+    order. Pure relational — explode with position, document-frequency
+    aggregate, anti-join, ordered re-concat — so Catalyst plans it and at
+    scale it is two shuffles (the df aggregate and the per-doc regroup);
+    the boilerplate set is vocab-bounded and broadcast."""
+    docs = _table(spark, sf_dir, 'documents') \
+        .select('doc_id', 'source', 'text')
+    toks = docs.select(
+        'doc_id', 'source',
+        F.posexplode(F.split(F.trim('text'), r'\s+')).alias('pos', 'tok'))
+    dfreq = toks.groupBy('source', 'tok').agg(
+        F.countDistinct('doc_id').alias('df'))
+    totals = docs.groupBy('source').agg(F.count('*').alias('n_docs'))
+    boiler = (dfreq.join(totals, 'source')
+              .where(F.col('df') * 10 >= F.col('n_docs') * 9)
+              .select('source', 'tok'))
+    kept = toks.join(F.broadcast(boiler), ['source', 'tok'], 'left_anti')
+    ordered = F.transform(F.array_sort(F.collect_list(
+        F.struct('pos', 'tok'))), lambda s: s['tok'])
+    agg = kept.groupBy('doc_id').agg(
+        F.concat_ws(' ', ordered).alias('clean_text'),
+        F.count('*').alias('n_kept'))
+    return (docs.select('doc_id').join(agg, 'doc_id', 'left')
+            .select('doc_id',
+                    F.coalesce('clean_text', F.lit('')).alias('clean_text'),
+                    F.coalesce('n_kept', F.lit(0)).cast('long')
+                    .alias('n_kept')))
+
+
 def q_fingerprint_shingle(spark, sf_dir) -> DataFrame:
     """document fingerprint: md5 over the sorted distinct token set"""
     docs = _table(spark, sf_dir, 'documents')
@@ -727,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_count': q_token_count,
         'quality_score': q_quality_score,
         'lang_id': q_lang_id,
+        'source_boilerplate_strip': q_source_boilerplate_strip,
         'fingerprint_shingle': q_fingerprint_shingle,
         'fingerprint_rolling': q_fingerprint_rolling,
         'minhash_band': q_minhash_band,
@@ -1104,6 +1137,35 @@ def oracle_sql() -> dict[str, str]:
                                 - length(replace(text, 'and', ''))) / 3
                                AS BIGINT)) AS tri_hits
                 FROM documents) g ON g.doc_id = t.doc_id""",
+        'source_boilerplate_strip': """
+            WITH d AS (SELECT doc_id, source,
+                              regexp_split_to_array(trim(text), '\\s+') AS arr
+                       FROM documents),
+                 mx AS (SELECT max(len(arr)) AS m FROM d),
+                 s AS (SELECT unnest(generate_series(1,
+                            (SELECT m FROM mx))) AS pos),
+                 tok AS (SELECT d.doc_id, d.source, s.pos,
+                                d.arr[s.pos] AS tok
+                         FROM d JOIN s ON s.pos <= len(d.arr)),
+                 dfreq AS (SELECT source, tok,
+                                  count(distinct doc_id) AS df
+                           FROM tok GROUP BY source, tok),
+                 n AS (SELECT source, count(*) AS n_docs FROM d
+                       GROUP BY source),
+                 b AS (SELECT dfreq.source, dfreq.tok
+                       FROM dfreq JOIN n USING (source)
+                       WHERE df * 10 >= n_docs * 9),
+                 kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+                          ANTI JOIN b USING (source, tok)),
+                 agg AS (SELECT doc_id,
+                                string_agg(tok, ' ' ORDER BY pos)
+                                    AS clean_text,
+                                count(*) AS n_kept
+                         FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(agg.clean_text, '') AS clean_text,
+                   CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+            FROM d LEFT JOIN agg USING (doc_id)""",
         'fingerprint_shingle': """
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(
