@@ -333,6 +333,56 @@ def q_source_boilerplate_strip(spark, sf_dir) -> DataFrame:
                     .alias('n_kept')))
 
 
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII redaction (email / IPv4 / phone -> typed placeholders) with
+    JVM-side regexp_replace. The payload embeds deterministic synthetic PII
+    derived from doc_id after the (digit-and-symbol-free) document text, so
+    the expected output is a closed form and the oracle needs no regex —
+    what's under test is the Spark-side scrub itself."""
+    docs = _table(spark, sf_dir, 'documents')
+    d = F.col('doc_id')
+    payload = F.concat(
+        F.col('text'),
+        F.lit(' contact user'), d.cast('string'),
+        F.lit('@mail.example.com or 10.0.'), (d % 256).cast('string'),
+        F.lit('.'), (d % 100).cast('string'),
+        F.lit(' phone +1-555-01'), F.lpad((d % 100).cast('string'), 2, '0'))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                payload,
+                r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>'),
+            r'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>'),
+        r'\+\d[\d-]{7,}', '<PHONE>')
+    return docs.select('doc_id', scrubbed.alias('scrubbed'))
+
+
+def q_gopher_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition signal: fraction of the document's word
+    bigrams taken by the most frequent bigram (integer x10000). All
+    JVM-side array expressions (sequence/transform/filter), no python."""
+    docs = _table(spark, sf_dir, 'documents')
+    words = F.split(F.trim('text'), r'\s+')
+    n = F.size(words)
+    bg = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(words, i), F.lit(' '),
+                           F.element_at(words, i + 1)))) \
+        .otherwise(F.array().cast('array<string>'))
+    staged = docs.select('doc_id', bg.alias('bg'))
+    top = F.array_max(F.transform(
+        F.array_distinct('bg'),
+        lambda x: F.size(F.filter(F.col('bg'), lambda b: b == x))))
+    n_bg = F.size('bg')
+    rep = F.when(n_bg <= 0, F.lit(0)).otherwise(
+        F.floor(top * 10000 / n_bg)).cast('long')
+    return staged.select(
+        'doc_id', n_bg.cast('long').alias('n_bigrams'),
+        F.coalesce(top, F.lit(0)).cast('long').alias('top_count'),
+        rep.alias('rep_x10k'))
+
+
 def q_fingerprint_shingle(spark, sf_dir) -> DataFrame:
     """document fingerprint: md5 over the sorted distinct token set"""
     docs = _table(spark, sf_dir, 'documents')
@@ -760,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_score': q_quality_score,
         'lang_id': q_lang_id,
         'source_boilerplate_strip': q_source_boilerplate_strip,
+        'pii_scrub': q_pii_scrub,
+        'gopher_repetition': q_gopher_repetition,
         'fingerprint_shingle': q_fingerprint_shingle,
         'fingerprint_rolling': q_fingerprint_rolling,
         'minhash_band': q_minhash_band,
@@ -1166,6 +1218,33 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.clean_text, '') AS clean_text,
                    CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
             FROM d LEFT JOIN agg USING (doc_id)""",
+        'pii_scrub': """
+            SELECT doc_id,
+                   text || ' contact <EMAIL> or <IP> phone <PHONE>'
+                       AS scrubbed
+            FROM documents""",
+        'gopher_repetition': """
+            WITH w AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\\s+') AS ws
+                       FROM documents),
+                 b AS (SELECT doc_id,
+                              CASE WHEN len(ws) >= 2 THEN
+                                  list_transform(generate_series(1,
+                                      len(ws) - 1),
+                                      i -> ws[i] || ' ' || ws[i + 1])
+                              ELSE [] END AS bg
+                       FROM w)
+            SELECT doc_id,
+                   CAST(len(bg) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(list_max(list_transform(list_distinct(bg),
+                        x -> len(list_filter(bg, e -> e = x)))), 0)
+                        AS BIGINT) AS top_count,
+                   CAST(CASE WHEN len(bg) <= 0 THEN 0
+                        ELSE floor(coalesce(list_max(list_transform(
+                                 list_distinct(bg),
+                                 x -> len(list_filter(bg, e -> e = x)))), 0)
+                             * 10000.0 / len(bg)) END AS BIGINT) AS rep_x10k
+            FROM b""",
         'fingerprint_shingle': """
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(
