@@ -144,6 +144,14 @@ def main() -> int:
         checks.append((qname, 'top-k without global sort',
                        'TakeOrderedAndProject' in ann_plan))
 
+    # 11. corpus-level boilerplate strip: the vocab-bounded boilerplate set
+    # broadcasts into the anti-join; the token table itself never shuffles
+    # for the filter step
+    bp_plan = plan_of(entry.q_source_boilerplate_strip(spark, sf_dir))
+    sections.append(('source_boilerplate_strip', bp_plan))
+    checks.append(('source_boilerplate_strip', 'broadcast anti-join',
+                   'BroadcastHashJoin' in bp_plan and 'LeftAnti' in bp_plan))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:
