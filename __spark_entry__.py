@@ -383,6 +383,55 @@ def q_gopher_repetition(spark, sf_dir) -> DataFrame:
         rep.alias('rep_x10k'))
 
 
+def q_dataset_split(spark, sf_dir) -> DataFrame:
+    """deterministic train/val/test assignment: first md5 hex digit of the
+    doc id buckets 16 ways (content-independent, so re-runs and late
+    re-shards never migrate a document across splits)"""
+    docs = _table(spark, sf_dir, 'documents')
+    h = F.substring(F.md5(F.col('doc_id').cast('string').cast('binary')),
+                    1, 1)
+    pos = F.instr(F.lit(_HEX), h) - 1  # 0..15
+    split = (F.when(pos <= 12, 'train')
+             .when(pos <= 14, 'val')
+             .otherwise('test'))
+    return docs.select('doc_id', pos.cast('long').alias('bucket16'),
+                       split.alias('split'))
+
+
+def q_conversation_assemble(spark, sf_dir) -> DataFrame:
+    """SFT-sample assembly: concatenate a group's documents in stable order
+    into one training sample per group (collect_list + array_sort + join —
+    the per-group text never crosses the driver)"""
+    docs = _table(spark, sf_dir, 'documents')
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct('doc_id', 'text'))),
+        lambda s: s['text'])
+    return (docs.groupBy('source').agg(
+        F.concat_ws('\n', ordered).alias('sample_text'),
+        F.count('*').alias('n_docs'),
+        F.sum(F.length('text')).cast('long').alias('n_chars')))
+
+
+def q_sequence_pack(spark, sf_dir) -> DataFrame:
+    """context-window packing: assign each document (in stable doc_id order
+    per source) to a pack by running token count — pack_id = tokens seen
+    before this doc // budget. A single window cumulative sum, no driver
+    loop; boundary docs belong to the pack where they start."""
+    from pyspark.sql.window import Window
+    budget = 512
+    docs = _table(spark, sf_dir, 'documents')
+    trimmed = F.trim(F.col('text'))
+    n_tokens = F.when(trimmed == '', F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r'\s+'))).cast('long')
+    d = docs.select('doc_id', 'source', n_tokens.alias('n_tokens'))
+    w = (Window.partitionBy('source').orderBy('doc_id')
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    before = F.sum('n_tokens').over(w) - F.col('n_tokens')
+    return d.select('doc_id', 'source', 'n_tokens',
+                    before.alias('tokens_before'),
+                    F.floor(before / budget).cast('long').alias('pack_id'))
+
+
 def q_fingerprint_shingle(spark, sf_dir) -> DataFrame:
     """document fingerprint: md5 over the sorted distinct token set"""
     docs = _table(spark, sf_dir, 'documents')
@@ -812,6 +861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'source_boilerplate_strip': q_source_boilerplate_strip,
         'pii_scrub': q_pii_scrub,
         'gopher_repetition': q_gopher_repetition,
+        'dataset_split': q_dataset_split,
+        'conversation_assemble': q_conversation_assemble,
+        'sequence_pack': q_sequence_pack,
         'fingerprint_shingle': q_fingerprint_shingle,
         'fingerprint_rolling': q_fingerprint_rolling,
         'minhash_band': q_minhash_band,
@@ -1245,6 +1297,40 @@ def oracle_sql() -> dict[str, str]:
                                  x -> len(list_filter(bg, e -> e = x)))), 0)
                              * 10000.0 / len(bg)) END AS BIGINT) AS rep_x10k
             FROM b""",
+        'dataset_split': f"""
+            WITH t AS (SELECT doc_id,
+                              strpos('{_HEX}',
+                                     substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 1)) - 1 AS pos
+                       FROM documents)
+            SELECT doc_id, CAST(pos AS BIGINT) AS bucket16,
+                   CASE WHEN pos <= 12 THEN 'train'
+                        WHEN pos <= 14 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM t""",
+        'conversation_assemble': """
+            SELECT source,
+                   string_agg(text, chr(10) ORDER BY doc_id) AS sample_text,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars
+            FROM documents GROUP BY source""",
+        'sequence_pack': """
+            WITH t AS (SELECT doc_id, source,
+                              CAST(CASE WHEN trim(text) = '' THEN 0
+                                   ELSE array_length(regexp_split_to_array(
+                                       trim(text), '\\s+')) END AS BIGINT)
+                                  AS n_tokens
+                       FROM documents),
+                 c AS (SELECT doc_id, source, n_tokens,
+                              SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+                                  AS tokens_before
+                       FROM t)
+            SELECT doc_id, source, n_tokens,
+                   CAST(tokens_before AS BIGINT) AS tokens_before,
+                   CAST(floor(tokens_before / 512.0) AS BIGINT) AS pack_id
+            FROM c""",
         'fingerprint_shingle': """
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(
