@@ -360,27 +360,42 @@ def q_pii_scrub(spark, sf_dir) -> DataFrame:
 
 def q_gopher_repetition(spark, sf_dir) -> DataFrame:
     """Gopher-style repetition signal: fraction of the document's word
-    bigrams taken by the most frequent bigram (integer x10000). All
-    JVM-side array expressions (sequence/transform/filter), no python."""
+    bigrams taken by the most frequent bigram (integer x10000).
+
+    Linear plan: the bigram array is staged in a Project, explode_outer'd
+    (so zero-bigram docs keep their row), counted per (doc_id, bigram),
+    then reduced per doc — two hash aggregates with map-side partial
+    combine. The previous row-local form (array_distinct + a nested filter
+    per distinct bigram) rescanned the whole array once per distinct
+    bigram: O(D*N) inside a single row's expression, ~1e10 comparisons on
+    a 100k-token document. tests/test_textops.py pins the flat cost on a
+    50k-token doc and asserts array_distinct is gone from the plan."""
     docs = _table(spark, sf_dir, 'documents')
-    words = F.split(F.trim('text'), r'\s+')
-    n = F.size(words)
+    # stage the split token array in its own Project: element_at inside the
+    # transform lambda would otherwise re-evaluate the split per element
+    # (no common-subexpression elimination across higher-order-function
+    # boundaries) — quadratic bigram *construction* on long documents
+    ws = docs.select('doc_id',
+                     F.split(F.trim('text'), r'\s+').alias('ws'))
+    n = F.size('ws')
     bg = F.when(n >= 2, F.transform(
         F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat(F.element_at(words, i), F.lit(' '),
-                           F.element_at(words, i + 1)))) \
+        lambda i: F.concat(F.element_at('ws', i), F.lit(' '),
+                           F.element_at('ws', i + 1)))) \
         .otherwise(F.array().cast('array<string>'))
-    staged = docs.select('doc_id', bg.alias('bg'))
-    top = F.array_max(F.transform(
-        F.array_distinct('bg'),
-        lambda x: F.size(F.filter(F.col('bg'), lambda b: b == x))))
-    n_bg = F.size('bg')
-    rep = F.when(n_bg <= 0, F.lit(0)).otherwise(
-        F.floor(top * 10000 / n_bg)).cast('long')
-    return staged.select(
-        'doc_id', n_bg.cast('long').alias('n_bigrams'),
-        F.coalesce(top, F.lit(0)).cast('long').alias('top_count'),
-        rep.alias('rep_x10k'))
+    staged = ws.select('doc_id', bg.alias('bg'))
+    exploded = staged.select('doc_id', F.explode_outer('bg').alias('bigram'))
+    cnt = F.when(F.col('bigram').isNull(), F.lit(0)).otherwise(F.col('cnt'))
+    per_doc = (exploded.groupBy('doc_id', 'bigram')
+               .agg(F.count('*').alias('cnt'))
+               .groupBy('doc_id')
+               .agg(F.sum(cnt).cast('long').alias('n_bigrams'),
+                    F.max(cnt).cast('long').alias('top_count')))
+    rep = F.when(F.col('n_bigrams') <= 0, F.lit(0)).otherwise(
+        F.floor(F.col('top_count') * 10000 / F.col('n_bigrams'))) \
+        .cast('long')
+    return per_doc.select('doc_id', 'n_bigrams', 'top_count',
+                          rep.alias('rep_x10k'))
 
 
 def q_dataset_split(spark, sf_dir) -> DataFrame:
@@ -399,14 +414,32 @@ def q_dataset_split(spark, sf_dir) -> DataFrame:
 
 
 def q_conversation_assemble(spark, sf_dir) -> DataFrame:
-    """SFT-sample assembly: concatenate a group's documents in stable order
-    into one training sample per group (collect_list + array_sort + join —
-    the per-group text never crosses the driver)"""
+    """SFT-sample assembly, bounded: documents are packed into
+    (source, pack_id) groups by the same running-token-count window as
+    q_sequence_pack (budget 512 tokens), then each pack's documents are
+    concatenated in stable doc_id order (collect_list + array_sort — the
+    text never crosses the driver). Every aggregation buffer holds at most
+    one pack (budget plus the boundary doc that starts inside it), so no
+    group grows with corpus size — the previous per-source grouping
+    buffered a whole source's text in one aggregate buffer, an OOM at
+    100x on a popular source. tests/test_textops.py asserts the per-group
+    token bound."""
+    from pyspark.sql.window import Window
+    budget = 512
     docs = _table(spark, sf_dir, 'documents')
+    trimmed = F.trim(F.col('text'))
+    n_tokens = F.when(trimmed == '', F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r'\s+'))).cast('long')
+    d = docs.select('doc_id', 'source', 'text', n_tokens.alias('n_tokens'))
+    w = (Window.partitionBy('source').orderBy('doc_id')
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    before = F.sum('n_tokens').over(w) - F.col('n_tokens')
+    d = d.select('doc_id', 'source', 'text', 'n_tokens',
+                 F.floor(before / budget).cast('long').alias('pack_id'))
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct('doc_id', 'text'))),
         lambda s: s['text'])
-    return (docs.groupBy('source').agg(
+    return (d.groupBy('source', 'pack_id').agg(
         F.concat_ws('\n', ordered).alias('sample_text'),
         F.count('*').alias('n_docs'),
         F.sum(F.length('text')).cast('long').alias('n_chars')))
@@ -683,20 +716,31 @@ def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
 #: embeddings tables are dim-64 at every sf (TESTDATA.md); baked into the
 #: LSH hyperplane / oracle literals
 _EMB_DIM = 64
-_ANN_PLANES = 6
+#: plane count sized to the corpus so expected bucket occupancy stays O(1):
+#: ceil(log2(n)) = 9 for the ~500-vector test corpora (2^9 buckets); the
+#: same rule gives ~30 planes at 10^9 vectors. Recall at sharp plane counts
+#: comes from probing _ANN_TABLES independent plane families (multi-table
+#: LSH), not fatter buckets — the library defaults (16 planes x 4 tables,
+#: pipeline/similarity.py) carry the 10^5+ configuration, and
+#: tests/test_similarity.py asserts both the probed-candidate fraction and
+#: planted-near-dup recall at those defaults.
+_ANN_PLANES = 9
+_ANN_TABLES = 2
 
 
 def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
-    """LSH-bucketed approximate top-k (the scale path for similarity
-    search): random-hyperplane signatures + Hamming<=1 probes + exact
-    rerank. Hyperplanes are md5-derived +-1 literals, so the whole
-    probe+rerank has an exact DuckDB twin; recall vs brute force is
-    additionally asserted in tests/test_similarity.py."""
+    """multi-table LSH-bucketed approximate top-k (the scale path for
+    similarity search): per-table random-hyperplane signatures +
+    Hamming<=1 probes + exact rerank over the union of candidates.
+    Hyperplanes are md5-derived +-1 literals, so the whole probe+rerank
+    has an exact DuckDB twin; recall vs brute force and the probed
+    fraction are additionally asserted in tests/test_similarity.py."""
     from pyxml_spark.pipeline.similarity import (as_double_vec, lsh_topk)
     emb = _table(spark, sf_dir, 'embeddings')
     vec = as_double_vec(emb).select('vec_id', 'v')
     q = vec.where(F.col('vec_id') == 0).select(F.col('v').alias('q'))
-    out = lsh_topk(vec, q, k=10, n_planes=_ANN_PLANES, dim=_EMB_DIM)
+    out = lsh_topk(vec, q, k=10, n_planes=_ANN_PLANES,
+                   n_tables=_ANN_TABLES, dim=_EMB_DIM)
     return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
 
 
@@ -733,17 +777,22 @@ def q_pdf_blocks_stats(spark, sf_dir) -> DataFrame:
                 .cast('long').alias('n_body_chars')))
 
 
+_ANN_IVF_BITS = 8
+
+
 def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
     """IVF approximate top-k (the other scale path): deterministic sign-bit
-    grid coarse quantizer (inverted list = orthant of the first 3 dims) +
-    Hamming<=1 probed lists + exact rerank — fully SQL-expressible, so it
-    carries a DuckDB oracle (the KMeans quantizer remains in
-    pipeline/similarity.py as the model-based variant, pytest-covered)."""
+    grid coarse quantizer (inverted list = orthant of the first 8 dims,
+    256 lists) + Hamming<=1 probed lists (9/256 ≈ 3.5% of a sign-balanced
+    corpus; the r2 3-bit default probed 50%) + exact rerank — fully
+    SQL-expressible, so it carries a DuckDB oracle (the KMeans quantizer
+    remains in pipeline/similarity.py as the model-based variant,
+    pytest-covered)."""
     from pyxml_spark.pipeline.similarity import as_double_vec, grid_ivf_topk
     emb = _table(spark, sf_dir, 'embeddings')
     vec = as_double_vec(emb).select('vec_id', 'v')
     q = vec.where(F.col('vec_id') == 0).select(F.col('v').alias('q'))
-    out = grid_ivf_topk(vec, q, k=10, n_bits=3)
+    out = grid_ivf_topk(vec, q, k=10, n_bits=_ANN_IVF_BITS)
     return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
 
 
@@ -931,19 +980,33 @@ def _mh_sql_cte() -> str:
 
 def _mh_pairs_cte() -> str:
     """DuckDB CTE chain through ``p`` (candidate pairs with exact-jaccard
-    ingredients) — twin of candidate_pairs + jaccard_pairs (rank-window
-    LEADs); shared by the pairs and keeper oracles"""
-    from pyxml_spark.pipeline.dedup import PAIR_WINDOW
+    ingredients) — twin of candidate_pairs + jaccard_pairs (salted
+    sub-bucket LEAD windows + the rep chain re-connecting sub-buckets);
+    shared by the pairs and keeper oracles"""
+    from pyxml_spark.pipeline.dedup import N_SUBBUCKETS, PAIR_WINDOW
     leads = ', '.join(f'LEAD(doc_id, {t}) OVER win AS s{t}'
                       for t in range(1, PAIR_WINDOW + 1))
     succ = ', '.join(f's{t}' for t in range(1, PAIR_WINDOW + 1))
     return f"""
         {_mh_sql_cte()},
-        r0 AS (SELECT doc_id, {leads} FROM b
-               WINDOW win AS (PARTITION BY band_id, band_key
+        sb AS (SELECT doc_id, band_id, band_key,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 15) AS BIGINT)
+                          % {N_SUBBUCKETS} AS salt
+               FROM b),
+        r0 AS (SELECT doc_id, {leads} FROM sb
+               WINDOW win AS (PARTITION BY band_id, band_key, salt
                               ORDER BY doc_id)),
         r AS (SELECT doc_id, unnest([{succ}]) AS s FROM r0),
-        c AS (SELECT DISTINCT doc_id AS doc_a, s AS doc_b FROM r
+        reps AS (SELECT band_id, band_key, salt, MIN(doc_id) AS rep
+                 FROM sb GROUP BY band_id, band_key, salt),
+        ch AS (SELECT rep AS doc_id,
+                      LEAD(rep, 1) OVER (PARTITION BY band_id, band_key
+                                         ORDER BY rep) AS s
+               FROM reps),
+        c AS (SELECT DISTINCT doc_id AS doc_a, s AS doc_b
+              FROM (SELECT doc_id, s FROM r
+                    UNION ALL SELECT doc_id, s FROM ch)
               WHERE s IS NOT NULL),
         w AS (SELECT doc_id,
                      list_distinct(regexp_split_to_array(trim(text), '\\s+'))
@@ -1014,26 +1077,52 @@ def _ann_rerank_sql(sig_expr: str, probes: list[str]) -> str:
             ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
-def _ann_lsh_sql() -> str:
-    """DuckDB twin of q_ann_lsh_topk: the md5-derived +-1 hyperplanes are
-    emitted as literal arrays; each projection is the same left-fold dot
-    product Spark's F.aggregate computes, so sign decisions match exactly"""
+def _ann_sig_sql(table: int) -> str:
+    """one LSH table's signature expression: md5-derived +-1 hyperplanes as
+    literal arrays; each projection is the same left-fold dot product
+    Spark's F.aggregate computes, so sign decisions match exactly"""
     from pyxml_spark.pipeline.similarity import _sign_vector
     bits = []
     for p in range(_ANN_PLANES):
-        signs = _sign_vector(p, _EMB_DIM)
+        signs = _sign_vector(p, _EMB_DIM, table)
         lit = '[' + ', '.join('1.0' if s > 0 else '-1.0'
                               for s in signs) + ']'
         proj = (f"list_reduce(list_concat([CAST(0 AS DOUBLE)], "
                 f"list_transform(generate_series(1, {_EMB_DIM}), "
                 f"i -> v[i] * ({lit})[i])), (a, x) -> a + x)")
         bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END")
-    sig = '\n                        + '.join(bits)
-    probes = ['qsig'] + [f'xor(qsig, {1 << p})' for p in range(_ANN_PLANES)]
-    return _ann_rerank_sql(sig, probes)
+    return '\n                        + '.join(bits)
 
 
-def _ann_ivf_sql(n_bits: int = 3) -> str:
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of q_ann_lsh_topk (multi-table): per-table signatures,
+    per-table Hamming<=1 probe lists, UNION of candidates, exact rerank"""
+    sig_cols = ', '.join(f'({_ann_sig_sql(t)}) AS sig{t}'
+                         for t in range(_ANN_TABLES))
+    qsig_cols = ', '.join(f'sig{t} AS qsig{t}' for t in range(_ANN_TABLES))
+    cand_selects = []
+    for t in range(_ANN_TABLES):
+        probes = [f'qsig{t}'] + [f'xor(qsig{t}, {1 << p})'
+                                 for p in range(_ANN_PLANES)]
+        cand_selects.append(
+            f"SELECT s.vec_id FROM s JOIN "
+            f"(SELECT unnest([{', '.join(probes)}]) AS probe FROM q) pr{t} "
+            f"ON s.sig{t} = pr{t}.probe")
+    cands = '\n                       UNION\n                       '.join(
+        cand_selects)
+    return f"""
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+                 s AS (SELECT vec_id, v, {sig_cols} FROM v),
+                 q AS (SELECT {qsig_cols}, v AS qv FROM s WHERE vec_id = 0),
+                 c AS ({cands}),
+                 r AS (SELECT c.vec_id, {_COS_SQL} AS cos
+                       FROM c JOIN s ON s.vec_id = c.vec_id, q)
+            SELECT vec_id, ROUND(cos, 4) AS cos_sim FROM r
+            ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+def _ann_ivf_sql(n_bits: int = 8) -> str:
     """DuckDB twin of q_ann_ivf_topk's sign-bit grid quantizer"""
     sig = ' + '.join(f"CASE WHEN v[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END"
                      for d in range(n_bits))
@@ -1309,11 +1398,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM t""",
         'conversation_assemble': """
+            WITH t AS (SELECT doc_id, source, text,
+                              CAST(CASE WHEN trim(text) = '' THEN 0
+                                   ELSE array_length(regexp_split_to_array(
+                                       trim(text), '\\s+')) END AS BIGINT)
+                                  AS n_tokens
+                       FROM documents),
+                 c AS (SELECT doc_id, source, text,
+                              SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+                                  AS tokens_before
+                       FROM t)
             SELECT source,
+                   CAST(floor(tokens_before / 512.0) AS BIGINT) AS pack_id,
                    string_agg(text, chr(10) ORDER BY doc_id) AS sample_text,
                    COUNT(*) AS n_docs,
                    CAST(SUM(length(text)) AS BIGINT) AS n_chars
-            FROM documents GROUP BY source""",
+            FROM c
+            GROUP BY source, floor(tokens_before / 512.0)""",
         'sequence_pack': """
             WITH t AS (SELECT doc_id, source,
                               CAST(CASE WHEN trim(text) = '' THEN 0
@@ -1393,7 +1496,7 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_inner_product(q, q))) DESC, vec_id ASC
             LIMIT 10""",
         'ann_lsh_topk': _ann_lsh_sql(),
-        'ann_ivf_topk': _ann_ivf_sql(),
+        'ann_ivf_topk': _ann_ivf_sql(_ANN_IVF_BITS),
         'join_rollup': """
             SELECT o_orderpriority, COUNT(*) AS n_items,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

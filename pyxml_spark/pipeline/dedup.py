@@ -34,8 +34,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 __all__ = ['N_PERMS', 'N_BANDS', 'N_ROWS', 'PAIR_WINDOW', 'MH_PRIME',
-           'perm_coeffs', 'token_sets', 'minhash_bands', 'candidate_pairs',
-           'jaccard_pairs', 'dup_components']
+           'N_SUBBUCKETS', 'perm_coeffs', 'token_sets', 'minhash_bands',
+           'candidate_pairs', 'jaccard_pairs', 'dup_components']
 
 #: universal-hash modulus (Mersenne prime 2^31 - 1): keeps a_i*h + b_i
 #: inside exact int64 range in both Spark and DuckDB
@@ -46,6 +46,10 @@ N_ROWS = N_PERMS // N_BANDS
 #: per-bucket rank-window cap: each doc pairs with at most this many
 #: successors per band
 PAIR_WINDOW = 3
+#: salt fan-out inside a band bucket: a degenerate bucket (millions of
+#: identical docs hashing to one band key) is sorted by this many parallel
+#: window tasks instead of one straggler
+N_SUBBUCKETS = 8
 
 
 def perm_coeffs(i: int) -> tuple[int, int]:
@@ -109,18 +113,40 @@ def minhash_bands(tokens: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(bands: DataFrame,
-                    pair_window: int = PAIR_WINDOW) -> DataFrame:
-    """distinct (doc_a, doc_b) candidates: within each band bucket, pair
-    each doc with its next ``pair_window`` successors by doc_id (LEAD over
-    the bucket window — one shuffle, no self-join, linear output)"""
-    w = Window.partitionBy('band_id', 'band_key').orderBy('doc_id')
+                    pair_window: int = PAIR_WINDOW,
+                    n_subbuckets: int = N_SUBBUCKETS) -> DataFrame:
+    """distinct (doc_a, doc_b) candidates: linear output, no self-join, and
+    no single-task straggler on a degenerate bucket.
+
+    Docs inside a (band_id, band_key) bucket are salted into
+    ``n_subbuckets`` sub-buckets by md5(doc_id); each doc pairs with its
+    next ``pair_window`` successors by doc_id *within its sub-bucket*
+    (LEAD window partitioned by the salted key, so a bucket holding
+    millions of near-identical docs is sorted by ``n_subbuckets`` parallel
+    tasks instead of one). Sub-buckets are then re-connected by chaining
+    their minimum doc_ids with a second LEAD window over at most
+    ``n_subbuckets`` rows per bucket, so the whole bucket remains one
+    connected component for keeper selection. Worst-case candidates stay
+    ``N_BANDS * (pair_window + 1) * n`` — linear in corpus size."""
+    salt = (F.conv(F.substring(
+        F.md5(F.col('doc_id').cast('string').cast('binary')), 1, 15),
+        16, 10).cast('long') % n_subbuckets)
+    salted = bands.select('band_id', 'band_key', 'doc_id',
+                          salt.alias('salt'))
+    w = Window.partitionBy('band_id', 'band_key', 'salt').orderBy('doc_id')
     succ = F.array(*[F.lead('doc_id', t).over(w)
                      for t in range(1, pair_window + 1)])
-    staged = bands.select(F.col('doc_id').alias('doc_a'),
-                          succ.alias('succ'))
-    return (staged.select('doc_a', F.explode('succ').alias('doc_b'))
-            .where(F.col('doc_b').isNotNull())
-            .distinct())
+    staged = salted.select(F.col('doc_id').alias('doc_a'),
+                           succ.alias('succ'))
+    within = (staged.select('doc_a', F.explode('succ').alias('doc_b'))
+              .where(F.col('doc_b').isNotNull()))
+    reps = (salted.groupBy('band_id', 'band_key', 'salt')
+            .agg(F.min('doc_id').alias('rep')))
+    wc = Window.partitionBy('band_id', 'band_key').orderBy('rep')
+    chain = (reps.select(F.col('rep').alias('doc_a'),
+                         F.lead('rep', 1).over(wc).alias('doc_b'))
+             .where(F.col('doc_b').isNotNull()))
+    return within.union(chain).distinct()
 
 
 def dup_components(tokens: DataFrame, dup_pairs: DataFrame,
@@ -129,10 +155,17 @@ def dup_components(tokens: DataFrame, dup_pairs: DataFrame,
     iterative min-label propagation; keeper = the component's minimum
     doc_id, singletons keep themselves.
 
-    Each round sends every node's label across its edges and takes the
-    elementwise min — O(component diameter) rounds, one shuffle each, with
-    a driver-side convergence check on a single aggregate (labels only
-    decrease, so the label sum is a monotone convergence witness).
+    Each round (1) sends every node's label across its edges and takes the
+    elementwise min, then (2) applies one pointer-doubling shortcut
+    (``label <- label(label)`` — every label value is itself a doc_id, so
+    a self-join hops the label chain). Step 2 makes chain-shaped
+    components — exactly what the rank-window candidate scheme produces on
+    a degenerate bucket — converge in O(log diameter) rounds instead of
+    O(diameter), so a fixed ``max_iters`` covers any realistic corpus
+    (2^50 diameter at the default). Convergence is verified on a single
+    driver-side aggregate per round (labels only decrease, so the label
+    sum is a monotone witness); exhausting ``max_iters`` without the sum
+    stabilizing raises instead of silently returning split components.
     ``localCheckpoint`` truncates lineage between rounds; a production
     cluster job would use a reliable checkpoint dir instead to survive
     executor loss.
@@ -148,13 +181,22 @@ def dup_components(tokens: DataFrame, dup_pairs: DataFrame,
         labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum('label')).first()[0]
         if cur_sum == prev_sum:
-            break
+            return labels.select('doc_id', F.col('label').alias('keeper'))
         prev_sum = cur_sum
         msgs = (edges.join(labels.withColumnRenamed('doc_id', 'src'), 'src')
                 .select(F.col('dst').alias('doc_id'), 'label'))
         labels = (labels.union(msgs)
                   .groupBy('doc_id').agg(F.min('label').alias('label')))
-    return labels.select('doc_id', F.col('label').alias('keeper'))
+        shortcut = labels.select(F.col('doc_id').alias('label'),
+                                 F.col('label').alias('label2'))
+        labels = (labels.join(shortcut, 'label', 'left')
+                  .select('doc_id',
+                          F.least('label', F.coalesce('label2', 'label'))
+                          .alias('label')))
+    raise RuntimeError(
+        f'dup_components: label propagation did not converge within '
+        f'{max_iters} rounds — component diameter exceeds 2^{max_iters}, '
+        f'which indicates corrupt candidate pairs, not real data')
 
 
 def jaccard_pairs(tokens: DataFrame, cands: DataFrame,

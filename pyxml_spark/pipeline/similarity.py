@@ -5,11 +5,22 @@ Two strategies:
 * :func:`brute_force_topk` — exact cosine against a broadcast query vector;
   the correctness baseline (O(N) per query; fine fanned out over queries).
 * :func:`lsh_topk` — the scale path: random-hyperplane LSH signatures
-  (deterministic sign pattern per (plane, dim), no RNG state) bucket the
-  corpus; a query probes its own bucket plus all Hamming-distance-1 buckets
-  and reranks exactly within the candidate set. At 10^9+ vectors the bucket
-  join replaces the full scan; signatures are computed JVM-side with
-  higher-order functions (no python).
+  (deterministic sign pattern per (table, plane, dim), no RNG state)
+  bucket the corpus; a query probes its own bucket plus all
+  Hamming-distance-1 buckets in each of ``n_tables`` independent tables
+  and reranks exactly within the union of candidates. At 10^9+ vectors
+  the bucket join replaces the full scan; signatures are computed
+  JVM-side with higher-order functions (no python).
+
+Parameter sizing (the r2 defaults were demo-scale — 6 planes probed ~11%
+of the corpus): plane count should grow with the corpus so expected
+bucket occupancy stays O(1) — ``n_planes ~= ceil(log2(n))`` (30 planes at
+10^9 vectors) — and recall at high plane counts comes from probing
+``n_tables`` independent plane families, not from fatter buckets. The
+defaults here (16 planes x 4 tables, 8 grid bits) are sized for ~10^5+
+corpora; tests/test_similarity.py asserts the probed candidate fraction
+stays under a few percent AND that planted near-dups are still found at
+these defaults.
 
 Both return (vec_id, cos_sim) DataFrames. Recall of the LSH path vs brute
 force is asserted in tests/test_similarity.py.
@@ -52,20 +63,24 @@ def brute_force_topk(vec_df: DataFrame, query_df: DataFrame,
     return scored.orderBy(F.desc('cos_sim'), F.asc('vec_id')).limit(k)
 
 
-def _sign_vector(plane: int, dim: int) -> List[float]:
-    """deterministic ±1 hyperplane from md5 avalanche over (plane, dim) —
-    a fixed random-sign projection family, no RNG state to ship"""
+def _sign_vector(plane: int, dim: int, table: int = 0) -> List[float]:
+    """deterministic ±1 hyperplane from md5 avalanche over
+    (table, plane, dim) — a fixed random-sign projection family per LSH
+    table, no RNG state to ship. Table 0 keeps the original ``lsh:p:d``
+    key so single-table signatures are stable across versions."""
     import hashlib
+    key = f'lsh:{plane}' if table == 0 else f'lsh:t{table}:{plane}'
     signs = []
     for d in range(dim):
-        byte = hashlib.md5(f'lsh:{plane}:{d}'.encode()).digest()[0]
+        byte = hashlib.md5(f'{key}:{d}'.encode()).digest()[0]
         signs.append(1.0 if byte & 1 else -1.0)
     return signs
 
 
-def add_lsh_signature(vec_df: DataFrame, n_planes: int = 8,
+def add_lsh_signature(vec_df: DataFrame, n_planes: int = 16,
                       col: str = 'v', out: str = 'sig',
-                      dim: Optional[int] = None) -> DataFrame:
+                      dim: Optional[int] = None,
+                      table: int = 0) -> DataFrame:
     """bit p of the signature = sign(dot(v, hyperplane_p)); hyperplanes are
     array literals, the dot products run JVM-side"""
     if dim is None:
@@ -73,7 +88,7 @@ def add_lsh_signature(vec_df: DataFrame, n_planes: int = 8,
         dim = len(first[0])
     sig = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(s) for s in _sign_vector(p, dim)])
+        plane = F.array(*[F.lit(s) for s in _sign_vector(p, dim, table)])
         proj = _dot(F.col(col), plane)
         sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
     return vec_df.withColumn(out, sig.cast('int'))
@@ -113,7 +128,7 @@ def ivf_topk(assigned: DataFrame, model, query_df: DataFrame, k: int = 10,
     return scored.orderBy(F.desc('cos_sim'), F.asc('vec_id')).limit(k)
 
 
-def grid_assign(vec_df: DataFrame, n_bits: int = 3, col: str = 'v',
+def grid_assign(vec_df: DataFrame, n_bits: int = 8, col: str = 'v',
                 out: str = 'list_id') -> DataFrame:
     """deterministic IVF coarse quantizer: inverted list = orthant of the
     first ``n_bits`` dimensions (bit d set when v[d] >= 0).
@@ -130,10 +145,12 @@ def grid_assign(vec_df: DataFrame, n_bits: int = 3, col: str = 'v',
 
 
 def grid_ivf_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
-                  n_bits: int = 3, probe_hamming: int = 1) -> DataFrame:
+                  n_bits: int = 8, probe_hamming: int = 1) -> DataFrame:
     """IVF probe over the grid quantizer: the query's own orthant plus all
     Hamming<=1 sign flips (n_bits+1 of the 2^n_bits lists), exact cosine
-    rerank within the probed lists"""
+    rerank within the probed lists. At the default 8 bits the probe
+    touches 9/256 lists ≈ 3.5% of a sign-balanced corpus (the r2 default
+    of 3 bits probed 4/8 = 50%)."""
     corpus = grid_assign(vec_df, n_bits)
     query = grid_assign(query_df.withColumnRenamed('q', 'v'), n_bits) \
         .withColumnRenamed('v', 'q').withColumnRenamed('list_id', 'qlist')
@@ -150,24 +167,46 @@ def grid_ivf_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
 
 
 def lsh_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
-             n_planes: int = 8,
+             n_planes: int = 16,
+             n_tables: int = 4,
              probe_hamming: int = 1,
              dim: Optional[int] = None) -> DataFrame:
-    """bucketed ANN: candidates share the query's signature bucket (plus all
-    buckets within the probe Hamming radius), then exact rerank. Pass
-    ``dim`` when known to skip the one-row dimension probe."""
-    corpus = add_lsh_signature(vec_df, n_planes, dim=dim)
-    query = add_lsh_signature(query_df.withColumnRenamed('q', 'v'), n_planes,
-                              dim=dim)\
-        .withColumnRenamed('v', 'q').withColumnRenamed('sig', 'qsig')
-    # probe bucket list: qsig plus single-bit flips (hamming<=1)
-    probes = [F.col('qsig')]
-    if probe_hamming >= 1:
-        probes += [F.col('qsig').bitwiseXOR(F.lit(1 << p))
-                   for p in range(n_planes)]
-    query = query.withColumn('probe', F.explode(F.array(*probes)))
-    cands = corpus.join(F.broadcast(query),
-                        corpus['sig'] == query['probe'], 'inner')
+    """multi-table bucketed ANN: each of ``n_tables`` independent plane
+    families buckets the corpus; a candidate shares the query's bucket
+    (plus all buckets within the probe Hamming radius) in at least one
+    table; the union is reranked exactly. High plane counts keep buckets
+    O(1)-occupied at scale, the independent tables recover the recall a
+    single sharp table loses. Pass ``dim`` when known to skip the one-row
+    dimension probe."""
+    corpus = vec_df
+    for t in range(n_tables):
+        corpus = add_lsh_signature(corpus, n_planes, out=f'sig{t}',
+                                   dim=dim, table=t)
+    sigs = F.array(*[F.col(f'sig{t}') for t in range(n_tables)])
+    corpus = (corpus.select('vec_id', 'v', sigs.alias('sigs'))
+              .select('vec_id', 'v', F.posexplode('sigs'))
+              .withColumnsRenamed({'pos': 'tbl', 'col': 'sig'}))
+    query = query_df.withColumnRenamed('q', 'v')
+    for t in range(n_tables):
+        query = add_lsh_signature(query, n_planes, out=f'qsig{t}',
+                                  dim=dim, table=t)
+    probes = []
+    for t in range(n_tables):
+        s = F.col(f'qsig{t}')
+        tab = [s]
+        if probe_hamming >= 1:
+            tab += [s.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        probes += [F.struct(F.lit(t).alias('tbl'), pr.alias('probe'))
+                   for pr in tab]
+    query = (query.select(F.col('v').alias('q'),
+                          F.array(*probes).alias('probes'))
+             .select('q', F.explode('probes').alias('e'))
+             .select('q', F.col('e.tbl').alias('tbl'),
+                     F.col('e.probe').alias('probe')))
+    cands = corpus.join(
+        F.broadcast(query),
+        (corpus['tbl'] == query['tbl']) & (corpus['sig'] == query['probe']),
+        'inner')
     scored = cands.select('vec_id', _cosine('v', 'q').alias('cos_sim')) \
         .dropDuplicates(['vec_id'])
     return scored.orderBy(F.desc('cos_sim'), F.asc('vec_id')).limit(k)

@@ -48,8 +48,8 @@ def test_candidate_count_linear_bound(candidates, corpus):
     n = len(corpus)
     all_pairs = n * (n - 1) // 2
     # hard linear bound: the rank-window cap guarantees this even on a
-    # corpus of n identical documents
-    assert len(candidates) <= N_BANDS * PAIR_WINDOW * n
+    # corpus of n identical documents (+1 covers the sub-bucket rep chain)
+    assert len(candidates) <= N_BANDS * (PAIR_WINDOW + 1) * n
     # and on this (pathologically self-similar: 26% of pairs have
     # jaccard >= 0.8) corpus the banding still keeps candidates small —
     # round 1 produced 54,647 (44%) here
@@ -148,9 +148,14 @@ def test_spark_pipeline_matches_python_model(spark):
     import hashlib
     import random
     from pyxml_spark.pipeline.dedup import (MH_PRIME, N_BANDS, N_PERMS,
-                                            N_ROWS, PAIR_WINDOW,
-                                            candidate_pairs, minhash_bands,
-                                            perm_coeffs, token_sets)
+                                            N_ROWS, N_SUBBUCKETS,
+                                            PAIR_WINDOW, candidate_pairs,
+                                            minhash_bands, perm_coeffs,
+                                            token_sets)
+
+    def salt(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:15],
+                   16) % N_SUBBUCKETS
 
     def model(texts):
         cs = [perm_coeffs(i) for i in range(N_PERMS)]
@@ -168,10 +173,17 @@ def test_spark_pipeline_matches_python_model(spark):
                 bands.setdefault(key, []).append(d)
         pairs = set()
         for mem in bands.values():
-            mem.sort()
-            for i, a in enumerate(mem):
-                for b in mem[i + 1:i + 1 + PAIR_WINDOW]:
-                    pairs.add((a, b))
+            subs = {}
+            for d in mem:
+                subs.setdefault(salt(d), []).append(d)
+            for sub in subs.values():
+                sub.sort()
+                for i, a in enumerate(sub):
+                    for b in sub[i + 1:i + 1 + PAIR_WINDOW]:
+                        pairs.add((a, b))
+            reps = sorted(min(sub) for sub in subs.values())
+            for a, b in zip(reps, reps[1:]):
+                pairs.add((a, b))
         membership = {(d, j, k) for (j, k), mem in bands.items()
                       for d in mem}
         return membership, pairs
@@ -190,3 +202,62 @@ def test_spark_pipeline_matches_python_model(spark):
         want_bands, want_pairs = model(texts)
         assert got_bands == want_bands, f'case {case}'
         assert got_pairs == want_pairs, f'case {case}'
+
+
+def test_hot_bucket_no_single_task_sort(spark):
+    """r2 VERDICT watch item: a degenerate bucket (half the corpus
+    identical, so one band key holds them all in every band) must be
+    windowed by N_SUBBUCKETS parallel groups, not sorted by one straggler
+    task; candidates stay linear and the bucket stays one component"""
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.dedup import (N_BANDS, N_SUBBUCKETS,
+                                            PAIR_WINDOW, candidate_pairs,
+                                            minhash_bands, token_sets)
+    n = 2000
+    rows = [(d, 'alpha beta gamma delta epsilon')
+            for d in range(n // 2)] + \
+           [(d, f'uniq{d}a uniq{d}b uniq{d}c') for d in range(n // 2, n)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    bands = minhash_bands(token_sets(df)).cache()
+    salt = (F.conv(F.substring(
+        F.md5(F.col('doc_id').cast('string').cast('binary')), 1, 15),
+        16, 10).cast('long') % N_SUBBUCKETS)
+    sizes = (bands.select('band_id', 'band_key', salt.alias('salt'))
+             .groupBy('band_id', 'band_key', 'salt').count().collect())
+    biggest = max(r['count'] for r in sizes)
+    # the hot bucket (1000 docs) must be split roughly 8 ways
+    assert biggest < (n // 2) * 0.25, biggest
+    pairs = candidate_pairs(bands)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert len(got) <= N_BANDS * (PAIR_WINDOW + 1) * n
+    comp = _components(got, range(n))
+    assert len({comp[d] for d in range(n // 2)}) == 1, \
+        'identical docs must remain one connected component'
+
+
+def test_chain_component_converges_fast(spark):
+    """pointer doubling: a 512-node path graph (the shape a degenerate
+    bucket's rank-window pairs produce) must converge well inside a small
+    round budget — plain min-propagation would need ~512 rounds (the r2
+    silent-truncation defect flagged in ADVICE)"""
+    from pyxml_spark.pipeline.dedup import dup_components
+    n = 512
+    toks = spark.createDataFrame([(d,) for d in range(n)], 'doc_id long')
+    pairs = spark.createDataFrame([(d, d + 1) for d in range(n - 1)],
+                                  'doc_a long, doc_b long')
+    got = {r.doc_id: r.keeper for r in
+           dup_components(toks, pairs, max_iters=16).collect()}
+    assert got == {d: 0 for d in range(n)}
+
+
+def test_nonconvergence_raises(spark):
+    """exhausting max_iters must raise, never silently return split
+    components"""
+    import pytest as _pytest
+    from pyxml_spark.pipeline.dedup import dup_components
+    n = 64
+    toks = spark.createDataFrame([(d,) for d in range(n)], 'doc_id long')
+    pairs = spark.createDataFrame([(d, d + 1) for d in range(n - 1)],
+                                  'doc_a long, doc_b long')
+    with _pytest.raises(RuntimeError, match='did not converge'):
+        dup_components(toks, pairs, max_iters=2)

@@ -110,3 +110,69 @@ def test_grid_ivf_recall_vs_brute_force(spark, vectors):
         total += len(exact)
     # probing 4/8 lists; random gaussians are the worst case
     assert hits / total >= 0.3, hits / total
+
+
+def test_probe_fraction_at_entry_params(spark, vectors):
+    """the r2 defect: 6 planes probed ~11% of the corpus (and the 3-bit
+    grid probed 50%). At the corpus-sized entry parameters the candidate
+    set must stay a few percent of the corpus."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as entry
+    from pyxml_spark.pipeline.similarity import (add_lsh_signature,
+                                                 grid_assign)
+    n = vectors.count()
+    # LSH: expected candidates = sum of probed-bucket occupancies
+    planes, tables = entry._ANN_PLANES, entry._ANN_TABLES
+    frac = 0.0
+    for t in range(tables):
+        sigs = add_lsh_signature(vectors, planes, dim=64, table=t)
+        counts = {r['sig']: r['count']
+                  for r in sigs.groupBy('sig').count().collect()}
+        qsig = sigs.where(F.col('vec_id') == 0).first()['sig']
+        probes = [qsig] + [qsig ^ (1 << p) for p in range(planes)]
+        frac += sum(counts.get(p, 0) for p in probes) / n
+    assert frac < 0.08, f'LSH probe fraction {frac:.3f}'
+    # grid IVF: probed lists hold a few percent of the corpus
+    bits = entry._ANN_IVF_BITS
+    assigned = grid_assign(vectors, n_bits=bits)
+    counts = {r['list_id']: r['count']
+              for r in assigned.groupBy('list_id').count().collect()}
+    qlist = assigned.where(F.col('vec_id') == 0).first()['list_id']
+    probes = [qlist] + [qlist ^ (1 << d) for d in range(bits)]
+    ivf_frac = sum(counts.get(p, 0) for p in probes) / n
+    assert ivf_frac < 0.08, f'IVF probe fraction {ivf_frac:.3f}'
+
+
+def test_multitable_lsh_finds_planted_near_dups_at_scale_defaults(spark):
+    """at the 16-plane library default a single table is too sharp to
+    retrieve true neighbors; the 4 independent tables must recover them.
+    Planted pairs (cos ~= 0.95) over a 1000-vector gaussian corpus: top-1
+    must be the planted twin for >= 80% of probes, while the probed
+    candidate fraction stays small."""
+    import math
+    import random
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.similarity import lsh_topk
+
+    rng = random.Random(7)
+    dim, n = 64, 1000
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+    # vectors 2i and 2i+1 are near-duplicates for the first 50 pairs
+    for i in range(50):
+        src = base[2 * i]
+        nrm = math.sqrt(sum(x * x for x in src))
+        base[2 * i + 1] = [x + rng.gauss(0, 0.18 * nrm / math.sqrt(dim))
+                           for x in src]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        'vec_id long, v array<double>').cache()
+    hits = 0
+    probed = 10  # spot-check 10 planted pairs
+    for i in range(probed):
+        q = df.where(F.col('vec_id') == 2 * i).select(
+            F.col('v').alias('q'))
+        got = lsh_topk(df, q, k=2, dim=dim).collect()  # library defaults
+        ids = [r.vec_id for r in got]
+        if 2 * i + 1 in ids:
+            hits += 1
+    assert hits >= 8, f'planted-twin recall {hits}/{probed} at defaults'

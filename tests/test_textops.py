@@ -42,6 +42,63 @@ def test_gopher_repetition_bounds_and_repeats(spark):
     assert any(r.top_count > 1 for r in rows)
 
 
+def test_gopher_repetition_plan_is_linear(spark):
+    """the r2 quadratic (array_distinct + a nested rescan per distinct
+    bigram) must stay gone: the optimized plan goes through explode +
+    aggregates, never back into the bigram array per distinct element"""
+    import __spark_entry__ as entry
+    df = entry.q_gopher_repetition(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert 'array_distinct' not in plan
+    assert 'generate explode' in plan or 'explode' in plan
+
+
+def test_gopher_repetition_flat_on_long_doc(spark, tmp_path):
+    """a 50k-token document must cost O(tokens): the old row-local form was
+    O(distinct_bigrams * tokens) =~ 5e7 comparisons for this payload (many
+    seconds in one expression); the exploded plan finishes with the rest of
+    the micro-corpus in normal query time, and the closed form pins the
+    values"""
+    import time
+    import __spark_entry__ as entry
+    text = ' '.join(f'w{i % 1000}' for i in range(50_000))
+    d = str(tmp_path / 'sf_long')
+    spark.createDataFrame(
+        [(1, text, 'en', 'synth', len(text))],
+        'doc_id long, text string, lang string, source string, '
+        'n_chars long').write.parquet(f'{d}/documents.parquet')
+    t0 = time.monotonic()
+    rows = entry.q_gopher_repetition(spark, d).collect()
+    wall = time.monotonic() - t0
+    assert len(rows) == 1
+    r = rows[0]
+    # bigram 'w{i} w{i+1}' repeats once per 1000-token period -> top = 50
+    assert r.n_bigrams == 49_999
+    assert r.top_count == 50
+    assert r.rep_x10k == 50 * 10000 // 49_999
+    assert wall < 30, f'long-doc gopher took {wall:.1f}s'
+
+
+def test_conversation_assemble_groups_are_bounded(spark):
+    """no aggregation buffer may grow with corpus size: each (source,
+    pack_id) group's token total is bounded by the pack budget plus the one
+    boundary doc that starts inside it"""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as entry
+    out = entry.q_conversation_assemble(spark, SF_DIR)
+    assert out.where(F.col('pack_id').isNull()).count() == 0
+    packs = entry.q_sequence_pack(spark, SF_DIR)
+    stats = (packs.groupBy('source', 'pack_id')
+             .agg(F.sum('n_tokens').alias('tok'),
+                  F.max('n_tokens').alias('mx')).collect())
+    budget = 512
+    for r in stats:
+        assert r.tok <= budget + r.mx, (r.source, r.pack_id, r.tok)
+    # and the assembled groups are the same partitioning
+    n_groups = out.count()
+    assert n_groups == len(stats)
+
+
 def test_boilerplate_strip_is_subsequence(spark):
     """clean_text must be the original token sequence minus the stripped
     tokens — order preserved, nothing invented"""
@@ -49,6 +106,24 @@ def test_boilerplate_strip_is_subsequence(spark):
     docs = {r.doc_id: r.text for r in
             spark.read.parquet(f'{SF_DIR}/documents.parquet')
             .select('doc_id', 'text').collect()}
+    sources = {r.doc_id: r.source for r in
+               spark.read.parquet(f'{SF_DIR}/documents.parquet')
+               .select('doc_id', 'source').collect()}
+    # independently recompute the boilerplate set per source:
+    # tokens present in >= 90% of the source's documents
+    from collections import defaultdict
+    src_docs = defaultdict(list)
+    for did, text in docs.items():
+        src_docs[sources[did]].append(set(text.split()))
+    boiler = {}
+    for src, tok_sets in src_docs.items():
+        n = len(tok_sets)
+        counts = defaultdict(int)
+        for s in tok_sets:
+            for t in s:
+                counts[t] += 1
+        boiler[src] = {t for t, c in counts.items() if c * 10 >= n * 9}
+    assert any(boiler.values()), 'corpus should have source boilerplate'
     out = entry.q_source_boilerplate_strip(spark, SF_DIR).collect()
     assert len(out) == len(docs)
     stripped_any = False
@@ -59,9 +134,10 @@ def test_boilerplate_strip_is_subsequence(spark):
         # subsequence check
         it = iter(orig)
         assert all(tok in it for tok in kept), r.doc_id
+        # exactly the independently-computed boilerplate set is stripped
+        b = boiler[sources[r.doc_id]]
+        assert not (b & set(kept)), r.doc_id
+        assert kept == [t for t in orig if t not in b], r.doc_id
         if len(kept) < len(orig):
             stripped_any = True
-            removed = set(orig) - set(kept)
-            # every removed token is absent everywhere in the clean text
-            assert not (removed & set(kept))
     assert stripped_any, 'threshold should strip something on this corpus'
