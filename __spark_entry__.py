@@ -874,6 +874,84 @@ def q_ordered_turns(spark, sf_dir) -> DataFrame:
                        .alias('turn_seq'))
 
 
+def q_streaming_rollup(spark, sf_dir) -> DataFrame:
+    """driver-visible Structured Streaming query (previously pytest-only):
+    readStream over the events parquet -> the production watermarked
+    5-minute windowed rollup (pipeline/streaming.py
+    conversation_rollup_stream, events mapped to the transcripts shape) ->
+    complete-mode memory sink drained with trigger(availableNow).
+
+    Complete mode retains every window and the single-file source arrives
+    in one micro-batch, so the final table is deterministic and equals the
+    batch group-by — giving the streaming operator a closed-form DuckDB
+    oracle. Window starts are emitted as epoch seconds (Spark tumbling
+    windows are epoch-aligned) for exact cross-engine compare."""
+    from pyxml_spark.pipeline.streaming import conversation_rollup_stream
+    # the parquet ts column reads as TIMESTAMP_NTZ; watermarks require an
+    # instant, so pin the session to UTC and cast (NTZ wall time == the
+    # oracle's epoch() interpretation)
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    # the file-stream source wants a directory: stream the sf dir and
+    # glob-filter to the events table
+    sch = spark.read.parquet(f'{sf_dir}/events.parquet').schema
+    stream = (spark.readStream.schema(sch)
+              .option('pathGlobFilter', 'events.parquet')
+              .parquet(sf_dir))
+    turns = stream.select(F.col('user_id').cast('string').alias('conv_id'),
+                          F.col('props').alias('text'),
+                          F.col('ts').cast('timestamp').alias('ts'))
+    roll = conversation_rollup_stream(turns)
+    name = 'q_streaming_rollup_sink'
+    q = (roll.writeStream.format('memory').queryName(name)
+         .outputMode('complete').trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        F.col('window.start').cast('long').alias('win_start'),
+        'conv_id',
+        F.col('n_turns').cast('long').alias('n_turns'),
+        F.col('chars_in').cast('long').alias('chars_in'))
+
+
+def q_media_features(spark, sf_dir) -> DataFrame:
+    """multimodal binary-column plumbing, driver-checked (previously
+    pytest-only): documents become deterministic media rows (payload =
+    the text's utf-8 bytes, kind cycles image/audio/video) and run through
+    the production extract_media_features mapInArrow kernel
+    (pipeline/multimodal.py — sha256-stream stand-in decoder, honestly
+    stubbed; empty payloads exercise the per-row error containment).
+
+    The stand-in decoder emits round(v/65535, 6) float32 features from the
+    sha256 digest's 16-bit words v; multiplying back by 65535 and rounding
+    recovers each v exactly (total error < 0.05 of a unit), so the emitted
+    signature is integer-exact cross-engine and the DuckDB twin computes
+    it straight from sha256 hex."""
+    from pyxml_spark.pipeline.multimodal import extract_media_features
+    docs = _table(spark, sf_dir, 'documents')
+    kind = F.element_at(
+        F.array(F.lit('image'), F.lit('audio'), F.lit('video')),
+        (F.col('doc_id') % 3 + 1).cast('int'))
+    media = docs.select(
+        F.col('doc_id').alias('media_id'), 'doc_id', kind.alias('kind'),
+        F.concat(kind, F.lit('/fake')).alias('mime'),
+        F.encode('text', 'UTF-8').alias('payload'),
+        F.struct(F.lit(64).cast('int').alias('width'),
+                 F.lit(64).cast('int').alias('height'),
+                 F.lit(1000).cast('int').alias('duration_ms'),
+                 F.lit(16000).cast('int').alias('sample_rate'))
+        .alias('meta'))
+    feats = extract_media_features(media)
+    fsig = F.concat_ws('-', F.transform(
+        'features',
+        lambda x: F.round(x * 65535).cast('long').cast('string')))
+    return feats.select(
+        F.col('media_id').cast('long').alias('media_id'), 'kind',
+        F.col('n_bytes').cast('long').alias('n_bytes'),
+        F.when(F.col('features').isNull(),
+               F.lit(None).cast('string')).otherwise(fsig).alias('fsig'),
+        'decode_error')
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     docs = _table(spark, DEFAULT_SF_DIR, 'documents')
@@ -930,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'supplier_nation': q_supplier_nation,
         'events_rollup': q_events_rollup,
         'ordered_turns': q_ordered_turns,
+        'streaming_rollup': q_streaming_rollup,
+        'media_features': q_media_features,
     }
 
 
@@ -1537,4 +1617,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY source
                         ORDER BY doc_id) - 1 AS BIGINT) AS turn_seq
             FROM documents""",
+        'streaming_rollup': """
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+                       AS win_start,
+                   CAST(user_id AS VARCHAR) AS conv_id,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(length(props)) AS BIGINT) AS chars_in
+            FROM events GROUP BY 1, 2""",
+        'media_features': """
+            WITH m AS (SELECT doc_id AS media_id,
+                              ['image', 'audio', 'video']
+                                  [CAST(doc_id % 3 AS INT) + 1] AS kind,
+                              encode(text) AS payload
+                       FROM documents),
+                 f AS (SELECT media_id, kind,
+                              CAST(octet_length(payload) AS BIGINT)
+                                  AS n_bytes,
+                              CASE WHEN octet_length(payload) = 0 THEN NULL
+                                   ELSE sha256(CAST(payload AS VARCHAR))
+                              END AS hx
+                       FROM m)
+            SELECT media_id, kind, n_bytes,
+                   CASE WHEN hx IS NULL THEN NULL ELSE
+                       array_to_string(list_transform(
+                           generate_series(0, 15),
+                           k -> CAST(CAST('0x' || substr(hx, k * 4 + 1, 4)
+                                          AS BIGINT) AS VARCHAR)), '-')
+                   END AS fsig,
+                   CASE WHEN hx IS NULL
+                        THEN 'ValueError: empty media payload'
+                   END AS decode_error
+            FROM f""",
     }

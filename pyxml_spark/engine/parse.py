@@ -260,6 +260,10 @@ class Parser:
         return self.buffer.read()
 
     def close(self) -> Element:
+        if self.stream is None and self.buffer is None:
+            # reference parity (parser.py:140): closing with no source is a
+            # protocol error, not an empty parse
+            raise RuntimeError('no data-stream provided')
         pump = EventPump(self._drain(), target=self.target,
                          encoding=self.encoding, fix_broken=self.fix_broken,
                          empty=self.empty)

@@ -140,6 +140,7 @@ def test_exclusion_errors_match_reference():
         (lambda p: p.set_stream(iter([b''])),
          lambda p: p.readfrom(io.BytesIO(b''))),
         (lambda p: p.feed(b'<a/>'), lambda p: p.readfrom(io.BytesIO(b''))),
+        (lambda p: p.close(),),  # no source at all: protocol error
     ]
     for ops in scenarios:
         ours = probe(Parser, *ops)
