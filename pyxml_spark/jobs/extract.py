@@ -18,11 +18,20 @@ import tempfile
 import time
 
 
-def build_session(cpus: int, app: str = 'pyxml-spark-extract'):
+def build_session(cpus: int, app: str = 'pyxml-spark-extract',
+                  memory: str = None):
+    """local[N] session with the tuned arrow/shuffle defaults. ``memory``
+    sizes the single local JVM (driver+executor in local mode; default 8g —
+    Spark's out-of-the-box 1g heap OOMs near 10^6-row shuffles); override
+    with SPARK_GRAFT_MEMORY or the argument. On a real cluster the
+    equivalent knobs are spark.executor.memory / instances via
+    spark-submit."""
     from pyspark.sql import SparkSession
+    mem = memory or os.environ.get('SPARK_GRAFT_MEMORY', '8g')
     return (SparkSession.builder
             .master(f'local[{cpus}]')
             .appName(app)
+            .config('spark.driver.memory', mem)
             .config('spark.sql.shuffle.partitions', str(max(cpus * 2, 8)))
             .config('spark.sql.adaptive.enabled', 'true')
             .config('spark.sql.execution.arrow.pyspark.enabled', 'true')

@@ -152,6 +152,37 @@ def main() -> int:
     checks.append(('source_boilerplate_strip', 'broadcast anti-join',
                    'BroadcastHashJoin' in bp_plan and 'LeftAnti' in bp_plan))
 
+    # 12. gopher repetition: linear explode + two hash aggregates; the r2
+    # row-local quadratic (array_distinct + nested filter rescans) is gone
+    gr_plan = plan_of(entry.q_gopher_repetition(spark, sf_dir))
+    sections.append(('gopher_repetition', gr_plan))
+    checks.append(('gopher_repetition', 'no row-local distinct rescan',
+                   'array_distinct' not in gr_plan))
+    checks.append(('gopher_repetition', 'explode + hash aggregates',
+                   'Generate' in gr_plan
+                   and gr_plan.count('HashAggregate') >= 2))
+
+    # 13. conversation assembly: bounded (source, pack_id) groups — the
+    # pack window assignment precedes the aggregate, so no per-source
+    # unbounded collect_list buffer remains
+    ca_plan = plan_of(entry.q_conversation_assemble(spark, sf_dir))
+    sections.append(('conversation_assemble', ca_plan))
+    checks.append(('conversation_assemble', 'pack window before aggregate',
+                   'Window' in ca_plan))
+    checks.append(('conversation_assemble', 'grouped by source AND pack_id',
+                   'pack_id' in ca_plan))
+
+    # 14. salted dedup windows: the LEAD window partitions by the salted
+    # sub-bucket key, so a degenerate bucket is never one task's sort
+    checks.append(('dedup_candidate_pairs', 'window partitioned by salt',
+                   'salt' in cand_plan))
+
+    # 15. multimodal feature kernel: one Arrow stage over the binary column
+    mf_plan = plan_of(entry.q_media_features(spark, sf_dir))
+    sections.append(('media_features', mf_plan))
+    checks.append(('media_features', 'arrow decode kernel',
+                   'MapInArrow' in mf_plan))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:
