@@ -209,3 +209,49 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     assert len(fps) == len(set(fps)), 'no fingerprint emitted twice'
     distinct_payloads = len(set(pdf['text']))
     assert len(fps) == distinct_payloads
+
+
+def test_driver_streaming_rollup_equals_batch(spark):
+    """the driver-visible streaming query (complete-mode memory sink +
+    availableNow) must equal the plain batch group-by over the same file"""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as entry
+    sf = '/root/testdata/sf0.001'
+    got = {(r.win_start, r.conv_id): (r.n_turns, r.chars_in)
+           for r in entry.q_streaming_rollup(spark, sf).collect()}
+    ev = spark.read.parquet(f'{sf}/events.parquet')
+    want = {((r.w, r.conv_id)): (r.n, r.c) for r in
+            ev.groupBy(
+                (F.floor(F.col('ts').cast('timestamp').cast('long') / 300)
+                 * 300).alias('w'),
+                F.col('user_id').cast('string').alias('conv_id'))
+            .agg(F.count('*').alias('n'),
+                 F.sum(F.length('props')).alias('c')).collect()}
+    assert got == want and got
+
+
+def test_driver_media_features_signature(spark):
+    """fsig must reconstruct the sha256-derived decoder features exactly"""
+    import hashlib
+    import struct
+    import __spark_entry__ as entry
+    sf = '/root/testdata/sf0.001'
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f'{sf}/documents.parquet').collect()}
+    rows = entry.q_media_features(spark, sf).collect()
+    assert len(rows) == len(docs)
+    kinds = ['image', 'audio', 'video']
+    for r in rows:
+        text = docs[r.media_id]
+        payload = text.encode()
+        assert r.kind == kinds[r.media_id % 3]
+        assert r.n_bytes == len(payload)
+        if not payload:
+            assert r.fsig is None
+            assert r.decode_error == 'ValueError: empty media payload'
+            continue
+        digest = hashlib.sha256(payload).digest()
+        want = [struct.unpack('>H', digest[(k * 2) % 32:(k * 2) % 32 + 2])[0]
+                for k in range(16)]
+        assert r.fsig == '-'.join(str(v) for v in want), r.media_id
+        assert r.decode_error is None
