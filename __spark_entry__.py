@@ -874,6 +874,40 @@ def q_ordered_turns(spark, sf_dir) -> DataFrame:
                        .alias('turn_seq'))
 
 
+def q_benchmark_overlap(spark, sf_dir) -> DataFrame:
+    """decontamination: flag documents sharing any exact 8-token n-gram
+    with a benchmark/eval set (GPT-3/Gopher-style n-gram decontamination;
+    the deterministic doc_id % 50 == 0 slice stands in for the eval
+    suite). Scale shape: the benchmark gram set is distinct-small and
+    BROADCASTs into the corpus gram join; the corpus side reduces to
+    distinct (doc, gram) rows, so cost is two hash shuffles — never a
+    corpus x corpus comparison. The token array is staged in a Project
+    (HOF common-subexpression rule), and the gram sequence is guarded
+    with when(n >= K) because Spark's sequence(1, stop) turns descending
+    for stop < 1."""
+    K = 8
+    docs = _table(spark, sf_dir, 'documents')
+    ws = docs.where(F.trim('text') != '').select(
+        'doc_id', F.split(F.trim('text'), r'\s+').alias('ws'))
+    n = F.size('ws')
+    grams = F.when(n >= K, F.transform(
+        F.sequence(F.lit(1), n - (K - 1)),
+        lambda i: F.concat_ws(' ', F.slice('ws', i, K)))) \
+        .otherwise(F.array().cast('array<string>'))
+    staged = ws.select('doc_id', grams.alias('grams'))
+    dg = staged.select('doc_id', F.explode('grams').alias('g')).distinct()
+    bench = dg.where(F.col('doc_id') % 50 == 0).select('g').distinct()
+    hits = (dg.join(F.broadcast(bench), 'g')
+            .groupBy('doc_id').agg(F.count('*').alias('n')))
+    n_hits = F.coalesce('n', F.lit(0)).cast('long')
+    return (docs.select('doc_id').join(hits, 'doc_id', 'left')
+            .select('doc_id',
+                    n_hits.alias('n_gram_hits'),
+                    (F.col('doc_id') % 50 == 0).alias('is_benchmark'),
+                    ((F.col('doc_id') % 50 != 0) & (n_hits > 0))
+                    .alias('contaminated')))
+
+
 def q_streaming_rollup(spark, sf_dir) -> DataFrame:
     """driver-visible Structured Streaming query (previously pytest-only):
     readStream over the events parquet -> the production watermarked
@@ -1010,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
         'media_features': q_media_features,
+        'benchmark_overlap': q_benchmark_overlap,
     }
 
 
@@ -1648,4 +1683,25 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'ValueError: empty media payload'
                    END AS decode_error
             FROM f""",
+        'benchmark_overlap': """
+            WITH w AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\\s+') AS ws
+                       FROM documents WHERE trim(text) <> ''),
+                 g0 AS (SELECT doc_id,
+                               unnest(CASE WHEN len(ws) >= 8 THEN
+                                   list_transform(
+                                       generate_series(1, len(ws) - 7),
+                                       i -> array_to_string(ws[i:i+7], ' '))
+                                   ELSE [] END) AS g
+                        FROM w),
+                 g AS (SELECT DISTINCT doc_id, g FROM g0),
+                 b AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+                 h AS (SELECT g.doc_id, COUNT(*) AS n
+                       FROM g JOIN b USING (g) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_gram_hits,
+                   d.doc_id % 50 = 0 AS is_benchmark,
+                   (d.doc_id % 50 <> 0 AND coalesce(h.n, 0) > 0)
+                       AS contaminated
+            FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id""",
     }

@@ -183,6 +183,13 @@ def main() -> int:
     checks.append(('media_features', 'arrow decode kernel',
                    'MapInArrow' in mf_plan))
 
+    # 16. decontamination: the benchmark gram set broadcasts into the
+    # corpus gram join — the corpus is never shuffled against itself
+    bo_plan = plan_of(entry.q_benchmark_overlap(spark, sf_dir))
+    sections.append(('benchmark_overlap', bo_plan))
+    checks.append(('benchmark_overlap', 'broadcast benchmark grams',
+                   'BroadcastHashJoin' in bo_plan))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:
