@@ -947,6 +947,32 @@ def q_streaming_rollup(spark, sf_dir) -> DataFrame:
         F.col('chars_in').cast('long').alias('chars_in'))
 
 
+def q_streaming_extract(spark, sf_dir) -> DataFrame:
+    """the flagship extraction operator's streaming face, driver-visible:
+    the html-wrapped documents are staged once as a transcripts-shaped
+    parquet dir, then readStream -> the SAME mapInArrow kernel
+    (pipeline/streaming.extract_stream) -> checkpointed file sink drained
+    with trigger(availableNow) -> read back. Extraction is stateless per
+    turn, so the streamed output is row-identical to the batch path and
+    the oracle is the same closed form as extract_html_wrapped."""
+    import tempfile
+
+    from pyxml_spark.pipeline.streaming import run_file_stream
+    docs = _table(spark, sf_dir, 'documents')
+    src = docs.select(F.col('doc_id').cast('string').alias('conv_id'),
+                      F.lit(0).cast('int').alias('turn_idx'),
+                      F.lit('user').alias('role'),
+                      _wrap_html(F.col('text')).alias('text'),
+                      F.lit('').alias('tool'),
+                      F.lit(None).cast('timestamp').alias('ts'))
+    tmp = tempfile.mkdtemp(prefix='pyxml_stream_extract_')
+    src.repartition(8).write.mode('overwrite').parquet(f'{tmp}/in')
+    run_file_stream(spark, f'{tmp}/in', f'{tmp}/out', f'{tmp}/ckpt')
+    out = spark.read.parquet(f'{tmp}/out')
+    return out.select(F.col('conv_id').cast('long').alias('doc_id'),
+                      'main_text')
+
+
 def q_media_features(spark, sf_dir) -> DataFrame:
     """multimodal binary-column plumbing, driver-checked (previously
     pytest-only): documents become deterministic media rows (payload =
@@ -1043,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_rollup': q_events_rollup,
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
+        'streaming_extract': q_streaming_extract,
         'media_features': q_media_features,
         'benchmark_overlap': q_benchmark_overlap,
     }
@@ -1281,6 +1308,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_text_chars
             FROM documents""",
         'extract_html_wrapped': f"""
+            SELECT doc_id,
+                   CASE WHEN length({norm}) >= 10 THEN {norm} ELSE '' END
+                       AS main_text
+            FROM documents""",
+        'streaming_extract': f"""
             SELECT doc_id,
                    CASE WHEN length({norm}) >= 10 THEN {norm} ELSE '' END
                        AS main_text
