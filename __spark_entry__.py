@@ -398,6 +398,45 @@ def q_gopher_repetition(spark, sf_dir) -> DataFrame:
                           rep.alias('rep_x10k'))
 
 
+def q_gopher_ngram_fractions(spark, sf_dir) -> DataFrame:
+    """Gopher-style top n-gram repetition fractions for n = 2, 3, 4 in one
+    linear pass: every n's grams are built from the staged token array
+    (prefixed 'n:'), flattened, exploded ONCE, counted per (doc, gram),
+    reduced per (doc, n), and pivoted to columns — the multi-n analog of
+    q_gopher_repetition with the same explode/aggregate shape (no
+    row-local rescans). Gram builders come from a factory, not
+    default-arg lambdas (Spark HOF lambdas must have exactly arity 1)."""
+    ns = (2, 3, 4)
+    docs = _table(spark, sf_dir, 'documents')
+    ws = docs.select('doc_id', F.split(F.trim('text'), r'\s+').alias('ws'))
+    cnt = F.size('ws')
+
+    def gram_fn(k):
+        return lambda i: F.concat(F.lit(f'{k}:'),
+                                  F.concat_ws(' ', F.slice('ws', i, k)))
+
+    arrays = [
+        F.when(cnt >= k, F.transform(F.sequence(F.lit(1), cnt - (k - 1)),
+                                     gram_fn(k)))
+        .otherwise(F.array().cast('array<string>'))
+        for k in ns]
+    staged = ws.select('doc_id', F.flatten(F.array(*arrays)).alias('grams'))
+    exploded = staged.select('doc_id', F.explode('grams').alias('gram'))
+    per = (exploded.groupBy('doc_id', 'gram')
+           .agg(F.count('*').alias('c'))
+           .select('doc_id',
+                   F.substring('gram', 1, 1).cast('int').alias('k'), 'c')
+           .groupBy('doc_id', 'k')
+           .agg(F.sum('c').alias('tot'), F.max('c').alias('top')))
+    rep = F.floor(F.col('top') * 10000 / F.col('tot')).cast('long')
+    piv = per.groupBy('doc_id').agg(
+        *[F.max(F.when(F.col('k') == k, rep)).alias(f'r{k}') for k in ns])
+    return (docs.select('doc_id').join(piv, 'doc_id', 'left')
+            .select('doc_id',
+                    *[F.coalesce(f'r{k}', F.lit(0)).cast('long')
+                      .alias(f'rep{k}_x10k') for k in ns]))
+
+
 def q_dataset_split(spark, sf_dir) -> DataFrame:
     """deterministic train/val/test assignment: first md5 hex digit of the
     doc id buckets 16 ways (content-independent, so re-runs and late
@@ -1048,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'source_boilerplate_strip': q_source_boilerplate_strip,
         'pii_scrub': q_pii_scrub,
         'gopher_repetition': q_gopher_repetition,
+        'gopher_ngram_fractions': q_gopher_ngram_fractions,
         'dataset_split': q_dataset_split,
         'conversation_assemble': q_conversation_assemble,
         'sequence_pack': q_sequence_pack,
@@ -1533,6 +1573,33 @@ def oracle_sql() -> dict[str, str]:
                                  x -> len(list_filter(bg, e -> e = x)))), 0)
                              * 10000.0 / len(bg)) END AS BIGINT) AS rep_x10k
             FROM b""",
+        'gopher_ngram_fractions': """
+            WITH w AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\\s+') AS ws
+                       FROM documents),
+                 g AS (SELECT doc_id, k,
+                              unnest(CASE WHEN len(ws) >= k THEN
+                                  list_transform(
+                                      generate_series(1, len(ws) - k + 1),
+                                      i -> array_to_string(ws[i:i+k-1], ' '))
+                                  ELSE [] END) AS gram
+                       FROM w, (SELECT unnest([2, 3, 4]) AS k) ks),
+                 c AS (SELECT doc_id, k, gram, COUNT(*) AS c
+                       FROM g GROUP BY doc_id, k, gram),
+                 p AS (SELECT doc_id, k, SUM(c) AS tot, MAX(c) AS top
+                       FROM c GROUP BY doc_id, k)
+            SELECT d.doc_id,
+                   CAST(coalesce(MAX(CASE WHEN k = 2 THEN
+                       floor(top * 10000.0 / tot) END), 0) AS BIGINT)
+                       AS rep2_x10k,
+                   CAST(coalesce(MAX(CASE WHEN k = 3 THEN
+                       floor(top * 10000.0 / tot) END), 0) AS BIGINT)
+                       AS rep3_x10k,
+                   CAST(coalesce(MAX(CASE WHEN k = 4 THEN
+                       floor(top * 10000.0 / tot) END), 0) AS BIGINT)
+                       AS rep4_x10k
+            FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+            GROUP BY d.doc_id""",
         'dataset_split': f"""
             WITH t AS (SELECT doc_id,
                               strpos('{_HEX}',
