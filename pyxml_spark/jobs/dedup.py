@@ -42,6 +42,11 @@ def main(argv=None) -> int:
                     help='per-bucket successor cap (default dedup.PAIR_WINDOW)')
     ap.add_argument('--cpus', type=int, default=int(os.environ.get(
         'SPARK_GRAFT_CPUS', '8')))
+    ap.add_argument('--resume', action='store_true',
+                    help='skip stages whose output already committed '
+                         '(_SUCCESS present) in --output — a killed run '
+                         'restarts at the first incomplete stage instead '
+                         'of recomputing signatures for the whole corpus')
     args = ap.parse_args(argv)
 
     from pyxml_spark.jobs.extract import build_session
@@ -54,20 +59,42 @@ def main(argv=None) -> int:
     try:
         out_dir = args.output or tempfile.mkdtemp(prefix='pyxml_dedup_')
         t0 = time.time()
-        docs = spark.read.parquet(args.input)
-        toks = token_sets(docs, text_col=args.text_col, id_col=args.id_col)
-        cands = candidate_pairs(minhash_bands(toks),
-                                pair_window=args.pair_window or PAIR_WINDOW)
-        pairs = jaccard_pairs(toks, cands,
-                              dup_threshold_x10k=args.dup_threshold_x10k)
-        pairs_path = os.path.join(out_dir, 'dup_pairs.parquet')
-        pairs.write.mode('overwrite').parquet(pairs_path)
 
-        dups = (spark.read.parquet(pairs_path)
-                .where(F.col('is_dup')).select('doc_a', 'doc_b'))
-        keepers = dup_components(toks, dups)
+        def committed(path: str) -> bool:
+            return args.resume and os.path.exists(
+                os.path.join(path, '_SUCCESS'))
+
+        stages_run = []
+
+        # stage 1: token sets (staged so later stages and restarts reuse
+        # the one-md5-per-token pass instead of recomputing it)
+        toks_path = os.path.join(out_dir, 'toks.parquet')
+        if not committed(toks_path):
+            token_sets(spark.read.parquet(args.input),
+                       text_col=args.text_col, id_col=args.id_col) \
+                .write.mode('overwrite').parquet(toks_path)
+            stages_run.append('toks')
+        toks = spark.read.parquet(toks_path)
+
+        # stage 2: candidate pairs + exact-jaccard verification
+        pairs_path = os.path.join(out_dir, 'dup_pairs.parquet')
+        if not committed(pairs_path):
+            cands = candidate_pairs(
+                minhash_bands(toks),
+                pair_window=args.pair_window or PAIR_WINDOW)
+            jaccard_pairs(toks, cands,
+                          dup_threshold_x10k=args.dup_threshold_x10k) \
+                .write.mode('overwrite').parquet(pairs_path)
+            stages_run.append('pairs')
+
+        # stage 3: connected-component keepers
         keepers_path = os.path.join(out_dir, 'keepers.parquet')
-        keepers.write.mode('overwrite').parquet(keepers_path)
+        if not committed(keepers_path):
+            dups = (spark.read.parquet(pairs_path)
+                    .where(F.col('is_dup')).select('doc_a', 'doc_b'))
+            dup_components(toks, dups) \
+                .write.mode('overwrite').parquet(keepers_path)
+            stages_run.append('keepers')
 
         kept = spark.read.parquet(keepers_path)
         n_docs = kept.count()
@@ -77,6 +104,7 @@ def main(argv=None) -> int:
             'candidate_pairs': spark.read.parquet(pairs_path).count(),
             'dup_docs_removed': n_dups,
             'survivors': n_docs - n_dups,
+            'stages_run': stages_run,
             'pairs_path': pairs_path,
             'keepers_path': keepers_path,
             'wall_seconds': round(time.time() - t0, 3),
