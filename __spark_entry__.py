@@ -1012,6 +1012,41 @@ def q_streaming_extract(spark, sf_dir) -> DataFrame:
                       'main_text')
 
 
+def q_streaming_progress(spark, sf_dir) -> DataFrame:
+    """the custom stateful streaming operator (applyInPandasWithState),
+    driver-visible: documents grouped into 50 conversations stream through
+    conversation_progress_stream; with a single availableNow micro-batch
+    each conversation emits exactly one row carrying its final running
+    totals, so the output is deterministic. The documents are markup-free,
+    so the per-turn extraction inside the state update takes the identity
+    fast path and the totals have a closed form (count + char sum)."""
+    import tempfile
+
+    from pyxml_spark.pipeline.streaming import (conversation_progress_stream,
+                                                read_transcripts_stream)
+    docs = _table(spark, sf_dir, 'documents')
+    src = docs.select(
+        (F.col('doc_id') % 50).cast('string').alias('conv_id'),
+        (F.col('doc_id') / 50).cast('int').alias('turn_idx'),
+        F.lit('user').alias('role'),
+        F.col('text'),
+        F.lit('').alias('tool'),
+        F.lit(None).cast('timestamp').alias('ts'))
+    tmp = tempfile.mkdtemp(prefix='pyxml_stream_progress_')
+    src.repartition(4).write.mode('overwrite').parquet(f'{tmp}/in')
+    stream = read_transcripts_stream(spark, f'{tmp}/in',
+                                     max_files_per_trigger=64)
+    prog = conversation_progress_stream(stream)
+    name = 'q_streaming_progress_sink'
+    q = (prog.writeStream.format('memory').queryName(name)
+         .outputMode('update').trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select('conv_id',
+                      F.col('n_turns').cast('long').alias('n_turns'),
+                      F.col('main_chars').cast('long').alias('main_chars'))
+
+
 def q_media_features(spark, sf_dir) -> DataFrame:
     """multimodal binary-column plumbing, driver-checked (previously
     pytest-only): documents become deterministic media rows (payload =
@@ -1110,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
         'streaming_extract': q_streaming_extract,
+        'streaming_progress': q_streaming_progress,
         'media_features': q_media_features,
         'benchmark_overlap': q_benchmark_overlap,
     }
@@ -1357,6 +1393,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length({norm}) >= 10 THEN {norm} ELSE '' END
                        AS main_text
             FROM documents""",
+        'streaming_progress': """
+            SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(length(text)) AS BIGINT) AS main_chars
+            FROM documents GROUP BY 1""",
         'extract_dirty': f"""
             WITH t AS (SELECT doc_id, doc_id % 12 AS cls, {norm} AS nt
                        FROM documents)
