@@ -462,19 +462,20 @@ def q_conversation_assemble(spark, sf_dir) -> DataFrame:
     group grows with corpus size — the previous per-source grouping
     buffered a whole source's text in one aggregate buffer, an OOM at
     100x on a popular source. tests/test_textops.py asserts the per-group
-    token bound."""
-    from pyspark.sql.window import Window
+    token bound. The running token count uses the chunked two-phase
+    prefix sum (pipeline/prefix.py) so no single task sorts a whole
+    source."""
+    from pyxml_spark.pipeline.prefix import running_sum_before
     budget = 512
     docs = _table(spark, sf_dir, 'documents')
     trimmed = F.trim(F.col('text'))
     n_tokens = F.when(trimmed == '', F.lit(0)).otherwise(
         F.size(F.split(trimmed, r'\s+'))).cast('long')
     d = docs.select('doc_id', 'source', 'text', n_tokens.alias('n_tokens'))
-    w = (Window.partitionBy('source').orderBy('doc_id')
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    before = F.sum('n_tokens').over(w) - F.col('n_tokens')
+    d = running_sum_before(d, 'source', 'doc_id', 'n_tokens', 'before')
     d = d.select('doc_id', 'source', 'text', 'n_tokens',
-                 F.floor(before / budget).cast('long').alias('pack_id'))
+                 F.floor(F.col('before') / budget).cast('long')
+                 .alias('pack_id'))
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct('doc_id', 'text'))),
         lambda s: s['text'])
@@ -487,21 +488,23 @@ def q_conversation_assemble(spark, sf_dir) -> DataFrame:
 def q_sequence_pack(spark, sf_dir) -> DataFrame:
     """context-window packing: assign each document (in stable doc_id order
     per source) to a pack by running token count — pack_id = tokens seen
-    before this doc // budget. A single window cumulative sum, no driver
-    loop; boundary docs belong to the pack where they start."""
-    from pyspark.sql.window import Window
+    before this doc // budget; boundary docs belong to the pack where they
+    start. The cumulative sum is the chunked two-phase prefix scan
+    (pipeline/prefix.py): no driver loop AND no task ever sorts a whole
+    source (a bare per-source window would single-task a popular
+    source's sort at 10^12 rows)."""
+    from pyxml_spark.pipeline.prefix import running_sum_before
     budget = 512
     docs = _table(spark, sf_dir, 'documents')
     trimmed = F.trim(F.col('text'))
     n_tokens = F.when(trimmed == '', F.lit(0)).otherwise(
         F.size(F.split(trimmed, r'\s+'))).cast('long')
     d = docs.select('doc_id', 'source', n_tokens.alias('n_tokens'))
-    w = (Window.partitionBy('source').orderBy('doc_id')
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    before = F.sum('n_tokens').over(w) - F.col('n_tokens')
-    return d.select('doc_id', 'source', 'n_tokens',
-                    before.alias('tokens_before'),
-                    F.floor(before / budget).cast('long').alias('pack_id'))
+    d = running_sum_before(d, 'source', 'doc_id', 'n_tokens',
+                           'tokens_before')
+    return d.select('doc_id', 'source', 'n_tokens', 'tokens_before',
+                    F.floor(F.col('tokens_before') / budget).cast('long')
+                    .alias('pack_id'))
 
 
 def q_fingerprint_shingle(spark, sf_dir) -> DataFrame:
@@ -904,13 +907,15 @@ def q_events_rollup(spark, sf_dir) -> DataFrame:
 
 
 def q_ordered_turns(spark, sf_dir) -> DataFrame:
-    """stable-ordering primitive: dense sequence index per source by doc_id"""
-    from pyspark.sql.window import Window
+    """stable-ordering primitive: dense sequence index per source by doc_id.
+    row_number over a bare per-source window would sort each source in one
+    task; the index is instead the chunked prefix COUNT of earlier docs
+    (pipeline/prefix.py), identical output at any scale."""
+    from pyxml_spark.pipeline.prefix import running_sum_before
     docs = _table(spark, sf_dir, 'documents')
-    w = Window.partitionBy('source').orderBy('doc_id')
-    return docs.select('doc_id', 'source',
-                       (F.row_number().over(w) - 1).cast('long')
-                       .alias('turn_seq'))
+    d = running_sum_before(docs.select('doc_id', 'source'),
+                           'source', 'doc_id', F.lit(1), 'turn_seq')
+    return d.select('doc_id', 'source', 'turn_seq')
 
 
 def q_benchmark_overlap(spark, sf_dir) -> DataFrame:

@@ -87,9 +87,11 @@ def main() -> int:
     checks.append(('join_rollup', 'whole-stage codegen (*(n) spans)',
                    '*(' in executed_plan(jr)))
 
-    # 5. window query
+    # 5. window query: the rnk<=3 predicate must push a map-side
+    # WindowGroupLimit below the Exchange, so a popular source never ships
+    # more than 3 rows per input partition
     wt = entry.q_window_top_docs(spark, sf_dir)
-    add('window_top_docs', wt, must_contain=['Window'])
+    add('window_top_docs', wt, must_contain=['Window', 'WindowGroupLimit'])
     checks.append(('window_top_docs', 'whole-stage codegen (*(n) spans)',
                    '*(' in executed_plan(wt)))
 
@@ -189,6 +191,14 @@ def main() -> int:
     sections.append(('benchmark_overlap', bo_plan))
     checks.append(('benchmark_overlap', 'broadcast benchmark grams',
                    'BroadcastHashJoin' in bo_plan))
+
+    # 17. chunked prefix sum: the running-token window partitions by
+    # (source, _chunk), never by bare source — no whole-source sort in one
+    # task (pipeline/prefix.py)
+    sp_plan = plan_of(entry.q_sequence_pack(spark, sf_dir))
+    sections.append(('sequence_pack', sp_plan))
+    checks.append(('sequence_pack', 'window chunked by (source, _chunk)',
+                   '_chunk' in sp_plan))
 
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')

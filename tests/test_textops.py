@@ -141,3 +141,26 @@ def test_boilerplate_strip_is_subsequence(spark):
         if len(kept) < len(orig):
             stripped_any = True
     assert stripped_any, 'threshold should strip something on this corpus'
+
+
+def test_chunked_prefix_sum_equals_bare_window(spark):
+    """running_sum_before with a tiny chunk size (forcing many chunks and
+    the offset join) must equal the naive single-window running sum"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from pyxml_spark.pipeline.prefix import running_sum_before
+    import random
+    rng = random.Random(11)
+    rows = [(i, f's{rng.randint(0, 3)}', rng.randint(0, 9))
+            for i in range(0, 2000, 3)]  # sparse, non-dense keys
+    df = spark.createDataFrame(rows, 'doc_id long, source string, v long')
+    got = {(r.doc_id): r.before for r in
+           running_sum_before(df, 'source', 'doc_id', 'v', 'before',
+                              chunk_size=64).collect()}
+    w = (Window.partitionBy('source').orderBy('doc_id')
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r.doc_id: r.before for r in
+            df.select('doc_id',
+                      (F.sum('v').over(w) - F.col('v')).alias('before'))
+            .collect()}
+    assert got == want and len(got) == len(rows)
