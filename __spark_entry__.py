@@ -924,11 +924,13 @@ def q_benchmark_overlap(spark, sf_dir) -> DataFrame:
     the deterministic doc_id % 50 == 0 slice stands in for the eval
     suite). Scale shape: the benchmark gram set is distinct-small and
     BROADCASTs into the corpus gram join; the corpus side reduces to
-    distinct (doc, gram) rows, so cost is two hash shuffles — never a
-    corpus x corpus comparison. The token array is staged in a Project
-    (HOF common-subexpression rule), and the gram sequence is guarded
-    with when(n >= K) because Spark's sequence(1, stop) turns descending
-    for stop < 1."""
+    distinct (doc, gram-hash) rows — grams travel as 60-bit md5 hashes
+    (deterministic in both engines, collision odds ~n²/2^60), so the
+    distinct/join shuffles move 8-byte keys instead of ~50-char strings.
+    Cost is two hash shuffles, never a corpus x corpus comparison. The
+    token array is staged in a Project (HOF common-subexpression rule),
+    and the gram sequence is guarded with when(n >= K) because Spark's
+    sequence(1, stop) turns descending for stop < 1."""
     K = 8
     docs = _table(spark, sf_dir, 'documents')
     ws = docs.where(F.trim('text') != '').select(
@@ -936,8 +938,10 @@ def q_benchmark_overlap(spark, sf_dir) -> DataFrame:
     n = F.size('ws')
     grams = F.when(n >= K, F.transform(
         F.sequence(F.lit(1), n - (K - 1)),
-        lambda i: F.concat_ws(' ', F.slice('ws', i, K)))) \
-        .otherwise(F.array().cast('array<string>'))
+        lambda i: F.conv(F.substring(
+            F.md5(F.concat_ws(' ', F.slice('ws', i, K)).cast('binary')),
+            1, 15), 16, 10).cast('long'))) \
+        .otherwise(F.array().cast('array<long>'))
     staged = ws.select('doc_id', grams.alias('grams'))
     dg = staged.select('doc_id', F.explode('grams').alias('g')).distinct()
     bench = dg.where(F.col('doc_id') % 50 == 0).select('g').distinct()
@@ -962,8 +966,12 @@ def q_streaming_rollup(spark, sf_dir) -> DataFrame:
     Complete mode retains every window and the single-file source arrives
     in one micro-batch, so the final table is deterministic and equals the
     batch group-by — giving the streaming operator a closed-form DuckDB
-    oracle. Window starts are emitted as epoch seconds (Spark tumbling
-    windows are epoch-aligned) for exact cross-engine compare."""
+    oracle. The memory sink is the contract-harness drain only (bounded
+    here by windows x users at sf0.01); a production run keeps the same
+    rollup operator and writes update-mode deltas to a real sink
+    (pipeline/streaming.py). Window starts are emitted as epoch seconds
+    (Spark tumbling windows are epoch-aligned) for exact cross-engine
+    compare."""
     from pyxml_spark.pipeline.streaming import conversation_rollup_stream
     # the parquet ts column reads as TIMESTAMP_NTZ; watermarks require an
     # instant, so pin the session to UTC and cast (NTZ wall time == the
@@ -1836,7 +1844,9 @@ def oracle_sql() -> dict[str, str]:
                                unnest(CASE WHEN len(ws) >= 8 THEN
                                    list_transform(
                                        generate_series(1, len(ws) - 7),
-                                       i -> array_to_string(ws[i:i+7], ' '))
+                                       i -> CAST('0x' || substr(md5(
+                                           array_to_string(ws[i:i+7], ' ')),
+                                           1, 15) AS BIGINT))
                                    ELSE [] END) AS g
                         FROM w),
                  g AS (SELECT DISTINCT doc_id, g FROM g0),
