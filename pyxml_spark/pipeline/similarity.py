@@ -155,15 +155,28 @@ def grid_ivf_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
     query = grid_assign(query_df.withColumnRenamed('q', 'v'), n_bits) \
         .withColumnRenamed('v', 'q').withColumnRenamed('list_id', 'qlist')
     probes = [F.col('qlist')]
-    if probe_hamming >= 1:
-        probes += [F.col('qlist').bitwiseXOR(F.lit(1 << d))
-                   for d in range(n_bits)]
+    probes += [F.col('qlist').bitwiseXOR(F.lit(m))
+               for m in _flip_masks(n_bits, probe_hamming)]
     query = query.withColumn('probe', F.explode(F.array(*probes)))
     cands = corpus.join(F.broadcast(query),
                         corpus['list_id'] == query['probe'], 'inner')
     scored = cands.select('vec_id', _cosine('v', 'q').alias('cos_sim')) \
         .dropDuplicates(['vec_id'])
     return scored.orderBy(F.desc('cos_sim'), F.asc('vec_id')).limit(k)
+
+
+def _flip_masks(n_bits: int, hamming: int) -> List[int]:
+    """XOR masks for all non-zero sign flips up to the probe Hamming
+    radius (multiprobe: radius 2 adds the C(n,2) pair flips — the recall
+    knob that matters at sharp plane counts, where a true neighbor most
+    often disagrees on exactly one or two planes)"""
+    masks = []
+    if hamming >= 1:
+        masks += [1 << d for d in range(n_bits)]
+    if hamming >= 2:
+        masks += [(1 << a) | (1 << b)
+                  for a in range(n_bits) for b in range(a + 1, n_bits)]
+    return masks
 
 
 def lsh_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
@@ -193,9 +206,8 @@ def lsh_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
     probes = []
     for t in range(n_tables):
         s = F.col(f'qsig{t}')
-        tab = [s]
-        if probe_hamming >= 1:
-            tab += [s.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        tab = [s] + [s.bitwiseXOR(F.lit(m))
+                     for m in _flip_masks(n_planes, probe_hamming)]
         probes += [F.struct(F.lit(t).alias('tbl'), pr.alias('probe'))
                    for pr in tab]
     query = (query.select(F.col('v').alias('q'),

@@ -176,3 +176,40 @@ def test_multitable_lsh_finds_planted_near_dups_at_scale_defaults(spark):
         if 2 * i + 1 in ids:
             hits += 1
     assert hits >= 8, f'planted-twin recall {hits}/{probed} at defaults'
+
+
+def test_multiprobe_hamming2_recall_uplift(spark):
+    """radius-2 multiprobe must retrieve at least as many planted twins as
+    radius-1 at the same (sharp) plane count with fewer tables — the knob
+    that trades probe count for table count at scale"""
+    import math
+    import random
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.similarity import lsh_topk
+
+    rng = random.Random(13)
+    dim, n = 64, 600
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+    for i in range(40):
+        src = base[2 * i]
+        nrm = math.sqrt(sum(x * x for x in src))
+        base[2 * i + 1] = [x + rng.gauss(0, 0.18 * nrm / math.sqrt(dim))
+                           for x in src]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        'vec_id long, v array<double>').cache()
+
+    def recall(hamming):
+        hits = 0
+        for i in range(8):
+            q = df.where(F.col('vec_id') == 2 * i).select(
+                F.col('v').alias('q'))
+            got = lsh_topk(df, q, k=2, n_planes=16, n_tables=1,
+                           probe_hamming=hamming, dim=dim).collect()
+            if 2 * i + 1 in [r.vec_id for r in got]:
+                hits += 1
+        return hits
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 >= 5, f'radius-2 single-table recall {r2}/8'
