@@ -46,6 +46,22 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f'{name}.parquet'))
 
 
+def _staging_dir(prefix: str) -> str:
+    """fresh temp staging dir for a streaming contract query. Stale dirs
+    from earlier invocations (this process or crashed ones) are removed
+    first so repeated contract/bench runs cannot grow /tmp without bound;
+    a FRESH dir per run is still required because reusing a file-stream
+    checkpoint over rewritten input would treat the new part files (new
+    UUID names) as additional data and duplicate the sink rows."""
+    import glob
+    import shutil
+    import tempfile
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(),
+                                        f'{prefix}*')):
+        shutil.rmtree(stale, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 # --------------------------------------------------------------- engine UDFs
 
 def _wrap_html(text_col):
@@ -944,7 +960,11 @@ def q_benchmark_overlap(spark, sf_dir) -> DataFrame:
         .otherwise(F.array().cast('array<long>'))
     staged = ws.select('doc_id', grams.alias('grams'))
     dg = staged.select('doc_id', F.explode('grams').alias('g')).distinct()
-    bench = dg.where(F.col('doc_id') % 50 == 0).select('g').distinct()
+    # build the benchmark gram set from the benchmark slice only — deriving
+    # it from dg would re-run the full-corpus tokenize+hash+explode a
+    # second time for the broadcast side
+    bench = (staged.where(F.col('doc_id') % 50 == 0)
+             .select(F.explode('grams').alias('g')).distinct())
     hits = (dg.join(F.broadcast(bench), 'g')
             .groupBy('doc_id').agg(F.count('*').alias('n')))
     n_hits = F.coalesce('n', F.lit(0)).cast('long')
@@ -974,24 +994,37 @@ def q_streaming_rollup(spark, sf_dir) -> DataFrame:
     compare."""
     from pyxml_spark.pipeline.streaming import conversation_rollup_stream
     # the parquet ts column reads as TIMESTAMP_NTZ; watermarks require an
-    # instant, so pin the session to UTC and cast (NTZ wall time == the
-    # oracle's epoch() interpretation)
-    spark.conf.set('spark.sql.session.timeZone', 'UTC')
-    # the file-stream source wants a directory: stream the sf dir and
-    # glob-filter to the events table
-    sch = spark.read.parquet(f'{sf_dir}/events.parquet').schema
-    stream = (spark.readStream.schema(sch)
-              .option('pathGlobFilter', 'events.parquet')
-              .parquet(sf_dir))
-    turns = stream.select(F.col('user_id').cast('string').alias('conv_id'),
-                          F.col('props').alias('text'),
-                          F.col('ts').cast('timestamp').alias('ts'))
-    roll = conversation_rollup_stream(turns)
-    name = 'q_streaming_rollup_sink'
-    q = (roll.writeStream.format('memory').queryName(name)
-         .outputMode('complete').trigger(availableNow=True).start())
-    q.awaitTermination()
-    out = spark.table(name)
+    # instant, so pin the session to UTC for the duration of the stream
+    # (restored after — a shared contract/bench session must not keep the
+    # mutation) and cast; NTZ wall time == the oracle's epoch()
+    # interpretation. The final epoch-seconds projection is a
+    # timezone-independent cast, so it is safe to evaluate lazily after
+    # the restore.
+    tz_key = 'spark.sql.session.timeZone'
+    old_tz = spark.conf.get(tz_key, None)
+    spark.conf.set(tz_key, 'UTC')
+    try:
+        # the file-stream source wants a directory: stream the sf dir and
+        # glob-filter to the events table
+        sch = spark.read.parquet(f'{sf_dir}/events.parquet').schema
+        stream = (spark.readStream.schema(sch)
+                  .option('pathGlobFilter', 'events.parquet')
+                  .parquet(sf_dir))
+        turns = stream.select(
+            F.col('user_id').cast('string').alias('conv_id'),
+            F.col('props').alias('text'),
+            F.col('ts').cast('timestamp').alias('ts'))
+        roll = conversation_rollup_stream(turns)
+        name = 'q_streaming_rollup_sink'
+        q = (roll.writeStream.format('memory').queryName(name)
+             .outputMode('complete').trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.table(name)
+    finally:
+        if old_tz is not None:
+            spark.conf.set(tz_key, old_tz)
+        else:
+            spark.conf.unset(tz_key)
     return out.select(
         F.col('window.start').cast('long').alias('win_start'),
         'conv_id',
@@ -1007,8 +1040,6 @@ def q_streaming_extract(spark, sf_dir) -> DataFrame:
     with trigger(availableNow) -> read back. Extraction is stateless per
     turn, so the streamed output is row-identical to the batch path and
     the oracle is the same closed form as extract_html_wrapped."""
-    import tempfile
-
     from pyxml_spark.pipeline.streaming import run_file_stream
     docs = _table(spark, sf_dir, 'documents')
     src = docs.select(F.col('doc_id').cast('string').alias('conv_id'),
@@ -1017,7 +1048,7 @@ def q_streaming_extract(spark, sf_dir) -> DataFrame:
                       _wrap_html(F.col('text')).alias('text'),
                       F.lit('').alias('tool'),
                       F.lit(None).cast('timestamp').alias('ts'))
-    tmp = tempfile.mkdtemp(prefix='pyxml_stream_extract_')
+    tmp = _staging_dir('pyxml_stream_extract_')
     src.repartition(8).write.mode('overwrite').parquet(f'{tmp}/in')
     run_file_stream(spark, f'{tmp}/in', f'{tmp}/out', f'{tmp}/ckpt')
     out = spark.read.parquet(f'{tmp}/out')
@@ -1033,8 +1064,6 @@ def q_streaming_progress(spark, sf_dir) -> DataFrame:
     totals, so the output is deterministic. The documents are markup-free,
     so the per-turn extraction inside the state update takes the identity
     fast path and the totals have a closed form (count + char sum)."""
-    import tempfile
-
     from pyxml_spark.pipeline.streaming import (conversation_progress_stream,
                                                 read_transcripts_stream)
     docs = _table(spark, sf_dir, 'documents')
@@ -1045,7 +1074,7 @@ def q_streaming_progress(spark, sf_dir) -> DataFrame:
         F.col('text'),
         F.lit('').alias('tool'),
         F.lit(None).cast('timestamp').alias('ts'))
-    tmp = tempfile.mkdtemp(prefix='pyxml_stream_progress_')
+    tmp = _staging_dir('pyxml_stream_progress_')
     src.repartition(4).write.mode('overwrite').parquet(f'{tmp}/in')
     stream = read_transcripts_stream(spark, f'{tmp}/in',
                                      max_files_per_trigger=64)
@@ -1211,20 +1240,28 @@ def _mh_sql_cte() -> str:
 
 def _mh_pairs_cte() -> str:
     """DuckDB CTE chain through ``p`` (candidate pairs with exact-jaccard
-    ingredients) — twin of candidate_pairs + jaccard_pairs (salted
-    sub-bucket LEAD windows + the rep chain re-connecting sub-buckets);
-    shared by the pairs and keeper oracles"""
-    from pyxml_spark.pipeline.dedup import N_SUBBUCKETS, PAIR_WINDOW
+    ingredients) — twin of candidate_pairs + jaccard_pairs (hot-bucket
+    band-dependent sub-bucket salting, LEAD windows, the rep chain
+    re-connecting sub-buckets); shared by the pairs and keeper oracles"""
+    from pyxml_spark.pipeline.dedup import (HOT_BUCKET_THRESHOLD,
+                                            N_SUBBUCKETS, PAIR_WINDOW)
     leads = ', '.join(f'LEAD(doc_id, {t}) OVER win AS s{t}'
                       for t in range(1, PAIR_WINDOW + 1))
     succ = ', '.join(f's{t}' for t in range(1, PAIR_WINDOW + 1))
     return f"""
         {_mh_sql_cte()},
-        sb AS (SELECT doc_id, band_id, band_key,
-                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                          1, 15) AS BIGINT)
-                          % {N_SUBBUCKETS} AS salt
+        bz AS (SELECT doc_id, band_id, band_key,
+                      COUNT(*) OVER (PARTITION BY band_id, band_key)
+                          AS _bsz
                FROM b),
+        sb AS (SELECT doc_id, band_id, band_key,
+                      CASE WHEN _bsz > {HOT_BUCKET_THRESHOLD} THEN
+                          CAST('0x' || substr(md5(
+                              CAST(band_id AS VARCHAR) || ':' ||
+                              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                              % {N_SUBBUCKETS}
+                      ELSE 0 END AS salt
+               FROM bz),
         r0 AS (SELECT doc_id, {leads} FROM sb
                WINDOW win AS (PARTITION BY band_id, band_key, salt
                               ORDER BY doc_id)),

@@ -7,8 +7,10 @@ exact-jaccard verification -> connected-component keeper assignment.
 Writes two tables: the verified dup pairs and the (doc_id, keeper) map a
 downstream training-data job anti-joins against.
 
-Cluster launch:
-    spark-submit --py-files dist/pyxml_spark.zip pyxml_spark/jobs/dedup.py \
+Cluster launch (size the driver on the submit line — a builder-time
+spark.driver.memory is a no-op once spark-submit has started the JVM):
+    spark-submit --driver-memory 8g \
+        --py-files dist/pyxml_spark.zip pyxml_spark/jobs/dedup.py \
         --input <parquet-path> --id-col doc_id --text-col text \
         --output <dir>
 

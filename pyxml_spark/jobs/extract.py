@@ -23,9 +23,11 @@ def build_session(cpus: int, app: str = 'pyxml-spark-extract',
     """local[N] session with the tuned arrow/shuffle defaults. ``memory``
     sizes the single local JVM (driver+executor in local mode; default 8g —
     Spark's out-of-the-box 1g heap OOMs near 10^6-row shuffles); override
-    with SPARK_GRAFT_MEMORY or the argument. On a real cluster the
-    equivalent knobs are spark.executor.memory / instances via
-    spark-submit."""
+    with SPARK_GRAFT_MEMORY or the argument. NOTE: under ``spark-submit``
+    the driver JVM already exists before this runs, so the setting is a
+    no-op there — pass ``--driver-memory 8g`` (and executor sizing) on the
+    spark-submit line instead; this config only governs the plain
+    ``python3 jobs/...`` launch path."""
     from pyspark.sql import SparkSession
     mem = memory or os.environ.get('SPARK_GRAFT_MEMORY', '8g')
     return (SparkSession.builder

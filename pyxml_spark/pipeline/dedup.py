@@ -34,8 +34,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 __all__ = ['N_PERMS', 'N_BANDS', 'N_ROWS', 'PAIR_WINDOW', 'MH_PRIME',
-           'N_SUBBUCKETS', 'perm_coeffs', 'token_sets', 'minhash_bands',
-           'candidate_pairs', 'jaccard_pairs', 'dup_components']
+           'N_SUBBUCKETS', 'HOT_BUCKET_THRESHOLD', 'perm_coeffs',
+           'salt_expr', 'token_sets', 'minhash_bands', 'candidate_pairs',
+           'jaccard_pairs', 'dup_components']
 
 #: universal-hash modulus (Mersenne prime 2^31 - 1): keeps a_i*h + b_i
 #: inside exact int64 range in both Spark and DuckDB
@@ -50,6 +51,13 @@ PAIR_WINDOW = 3
 #: identical docs hashing to one band key) is sorted by this many parallel
 #: window tasks instead of one straggler
 N_SUBBUCKETS = 8
+#: buckets at or under this size keep the exact unsalted full-bucket
+#: rank-window pairing (no recall loss in small mixed buckets — splitting
+#: a 3-doc bucket can hide a true pair behind an interloper); only buckets
+#: that actually need straggler protection are salted, and a bucket this
+#: hot is near-certainly a single near-identical cluster, where sub-bucket
+#: chains preserve connectivity
+HOT_BUCKET_THRESHOLD = 512
 
 
 def perm_coeffs(i: int) -> tuple[int, int]:
@@ -112,27 +120,50 @@ def minhash_bands(tokens: DataFrame) -> DataFrame:
                     F.col('col').alias('band_key')))
 
 
+def salt_expr(doc_col: str = 'doc_id', band_col: str = 'band_id',
+              n_subbuckets: int = N_SUBBUCKETS):
+    """band-dependent 60-bit md5 sub-bucket salt (shared by
+    candidate_pairs, the DuckDB oracle builder, the python model in
+    tests/test_dedup_lsh.py, and scripts/dedup_soak.py — one definition so
+    the partitioning can never drift between them). Including the band id
+    decorrelates the sub-bucket draw across bands: a near-dup pair split
+    by the salt in one band gets an independent chance in every other
+    band it collides in."""
+    return (F.conv(F.substring(F.md5(F.concat_ws(
+        ':', F.col(band_col).cast('string'), F.col(doc_col).cast('string'))
+        .cast('binary')), 1, 15), 16, 10).cast('long') % n_subbuckets)
+
+
 def candidate_pairs(bands: DataFrame,
                     pair_window: int = PAIR_WINDOW,
-                    n_subbuckets: int = N_SUBBUCKETS) -> DataFrame:
+                    n_subbuckets: int = N_SUBBUCKETS,
+                    hot_threshold: int = HOT_BUCKET_THRESHOLD) -> DataFrame:
     """distinct (doc_a, doc_b) candidates: linear output, no self-join, and
     no single-task straggler on a degenerate bucket.
 
-    Docs inside a (band_id, band_key) bucket are salted into
-    ``n_subbuckets`` sub-buckets by md5(doc_id); each doc pairs with its
-    next ``pair_window`` successors by doc_id *within its sub-bucket*
-    (LEAD window partitioned by the salted key, so a bucket holding
-    millions of near-identical docs is sorted by ``n_subbuckets`` parallel
-    tasks instead of one). Sub-buckets are then re-connected by chaining
-    their minimum doc_ids with a second LEAD window over at most
-    ``n_subbuckets`` rows per bucket, so the whole bucket remains one
-    connected component for keeper selection. Worst-case candidates stay
-    ``N_BANDS * (pair_window + 1) * n`` — linear in corpus size."""
-    salt = (F.conv(F.substring(
-        F.md5(F.col('doc_id').cast('string').cast('binary')), 1, 15),
-        16, 10).cast('long') % n_subbuckets)
-    salted = bands.select('band_id', 'band_key', 'doc_id',
-                          salt.alias('salt'))
+    Buckets at or under ``hot_threshold`` docs keep the exact full-bucket
+    rank-window pairing (each doc with its next ``pair_window`` successors
+    by doc_id) — splitting a small mixed bucket could hide a true pair
+    behind an interloper. Buckets over the threshold — found with a
+    map-side-combined count whose reduce side sees one row per bucket,
+    never the bucket's rows, and broadcast back as a (small) hot-key set —
+    are salted into ``n_subbuckets`` sub-buckets by the band-dependent
+    :func:`salt_expr`, so a bucket holding millions of near-identical docs
+    is sorted by parallel window tasks instead of one. Sub-buckets are
+    re-connected by chaining their minimum doc_ids with a second LEAD
+    window over at most ``n_subbuckets`` rows per bucket, keeping the
+    bucket one connected component for keeper selection. Worst-case
+    candidates stay ``N_BANDS * (pair_window + 1) * n`` — linear in corpus
+    size."""
+    sizes = bands.groupBy('band_id', 'band_key').agg(
+        F.count('*').alias('_bsz'))
+    hot = (sizes.where(F.col('_bsz') > hot_threshold)
+           .select('band_id', 'band_key', F.lit(True).alias('_hot')))
+    salted = (bands.join(F.broadcast(hot), ['band_id', 'band_key'], 'left')
+              .select('band_id', 'band_key', 'doc_id',
+                      F.when(F.col('_hot'),
+                             salt_expr(n_subbuckets=n_subbuckets))
+                      .otherwise(F.lit(0)).alias('salt')))
     w = Window.partitionBy('band_id', 'band_key', 'salt').orderBy('doc_id')
     succ = F.array(*[F.lead('doc_id', t).over(w)
                      for t in range(1, pair_window + 1)])
@@ -176,13 +207,13 @@ def dup_components(tokens: DataFrame, dup_pairs: DataFrame,
                                          F.col('doc_a').alias('dst')))
     edges = edges.localCheckpoint(eager=True)
     labels = tokens.select('doc_id', F.col('doc_id').alias('label'))
-    prev_sum = None
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum('label')).first()[0]
     for _ in range(max_iters):
-        labels = labels.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum('label')).first()[0]
-        if cur_sum == prev_sum:
-            return labels.select('doc_id', F.col('label').alias('keeper'))
-        prev_sum = cur_sum
+        # check AFTER each update so every one of the max_iters rounds is
+        # a validated doubling step (check-before-update would leave the
+        # last round unvalidated and spuriously raise on a graph that
+        # converges exactly at the budget)
         msgs = (edges.join(labels.withColumnRenamed('doc_id', 'src'), 'src')
                 .select(F.col('dst').alias('doc_id'), 'label'))
         labels = (labels.union(msgs)
@@ -193,10 +224,16 @@ def dup_components(tokens: DataFrame, dup_pairs: DataFrame,
                   .select('doc_id',
                           F.least('label', F.coalesce('label2', 'label'))
                           .alias('label')))
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum('label')).first()[0]
+        if cur_sum == prev_sum:
+            return labels.select('doc_id', F.col('label').alias('keeper'))
+        prev_sum = cur_sum
     raise RuntimeError(
         f'dup_components: label propagation did not converge within '
-        f'{max_iters} rounds — component diameter exceeds 2^{max_iters}, '
-        f'which indicates corrupt candidate pairs, not real data')
+        f'{max_iters} rounds — with pointer doubling that covers component '
+        f'diameters far beyond any real corpus, so this indicates corrupt '
+        f'candidate pairs (or raise max_iters)')
 
 
 def jaccard_pairs(tokens: DataFrame, cands: DataFrame,

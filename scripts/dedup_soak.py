@@ -76,10 +76,11 @@ def main(argv=None) -> int:
     from pyspark.sql import functions as F
 
     from pyxml_spark.jobs.extract import build_session
-    from pyxml_spark.pipeline.dedup import (N_BANDS, N_SUBBUCKETS,
-                                            PAIR_WINDOW, candidate_pairs,
-                                            dup_components, jaccard_pairs,
-                                            minhash_bands, token_sets)
+    from pyxml_spark.pipeline.dedup import (HOT_BUCKET_THRESHOLD, N_BANDS,
+                                            N_SUBBUCKETS, PAIR_WINDOW,
+                                            candidate_pairs, dup_components,
+                                            jaccard_pairs, minhash_bands,
+                                            salt_expr, token_sets)
 
     n = args.rows
     hot = max(1000, n // 20)  # 5% degenerate cluster
@@ -102,15 +103,21 @@ def main(argv=None) -> int:
         bands = spark.read.parquet(f'{tmp}/bands.parquet')
         walls['signatures'] = round(time.time() - t0, 1)
 
-        # bucket-vs-window balance (the straggler bound)
+        # bucket-vs-window balance (the straggler bound): reproduce
+        # candidate_pairs's exact partitioning — hot buckets get the
+        # band-dependent salt, the rest stay whole (pipeline salt_expr)
         t0 = time.time()
-        salt = (F.conv(F.substring(
-            F.md5(F.col('doc_id').cast('string').cast('binary')), 1, 15),
-            16, 10).cast('long') % N_SUBBUCKETS)
-        bucket_max = (bands.groupBy('band_id', 'band_key').count()
-                      .agg(F.max('count')).first()[0])
-        window_max = (bands.select('band_id', 'band_key',
-                                   salt.alias('salt'))
+        sizes = bands.groupBy('band_id', 'band_key').agg(
+            F.count('*').alias('_bsz'))
+        hot_keys = (sizes.where(F.col('_bsz') > HOT_BUCKET_THRESHOLD)
+                    .select('band_id', 'band_key',
+                            F.lit(True).alias('_hot')))
+        bucket_max = sizes.agg(F.max('_bsz')).first()[0]
+        window_max = (bands.join(F.broadcast(hot_keys),
+                                 ['band_id', 'band_key'], 'left')
+                      .select('band_id', 'band_key',
+                              F.when(F.col('_hot'), salt_expr())
+                              .otherwise(F.lit(0)).alias('salt'))
                       .groupBy('band_id', 'band_key', 'salt').count()
                       .agg(F.max('count')).first()[0])
         walls['balance_probe'] = round(time.time() - t0, 1)

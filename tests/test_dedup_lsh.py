@@ -147,17 +147,17 @@ def test_spark_pipeline_matches_python_model(spark):
     window semantics) that the DuckDB oracle alone could share"""
     import hashlib
     import random
-    from pyxml_spark.pipeline.dedup import (MH_PRIME, N_BANDS, N_PERMS,
-                                            N_ROWS, N_SUBBUCKETS,
-                                            PAIR_WINDOW, candidate_pairs,
-                                            minhash_bands, perm_coeffs,
-                                            token_sets)
+    from pyxml_spark.pipeline.dedup import (HOT_BUCKET_THRESHOLD, MH_PRIME,
+                                            N_BANDS, N_PERMS, N_ROWS,
+                                            N_SUBBUCKETS, PAIR_WINDOW,
+                                            candidate_pairs, minhash_bands,
+                                            perm_coeffs, token_sets)
 
-    def salt(d):
-        return int(hashlib.md5(str(d).encode()).hexdigest()[:15],
+    def salt(band, d):
+        return int(hashlib.md5(f'{band}:{d}'.encode()).hexdigest()[:15],
                    16) % N_SUBBUCKETS
 
-    def model(texts):
+    def model(texts, hot_threshold=HOT_BUCKET_THRESHOLD):
         cs = [perm_coeffs(i) for i in range(N_PERMS)]
         bands = {}
         for d, t in texts:
@@ -172,10 +172,11 @@ def test_spark_pipeline_matches_python_model(spark):
                                    mins[j * N_ROWS:(j + 1) * N_ROWS]))
                 bands.setdefault(key, []).append(d)
         pairs = set()
-        for mem in bands.values():
+        for (j, _key), mem in bands.items():
             subs = {}
             for d in mem:
-                subs.setdefault(salt(d), []).append(d)
+                s = salt(j, d) if len(mem) > hot_threshold else 0
+                subs.setdefault(s, []).append(d)
             for sub in subs.values():
                 sub.sort()
                 for i, a in enumerate(sub):
@@ -206,25 +207,34 @@ def test_spark_pipeline_matches_python_model(spark):
 
 def test_hot_bucket_no_single_task_sort(spark):
     """r2 VERDICT watch item: a degenerate bucket (half the corpus
-    identical, so one band key holds them all in every band) must be
-    windowed by N_SUBBUCKETS parallel groups, not sorted by one straggler
-    task; candidates stay linear and the bucket stays one component"""
+    identical, so one band key holds them all in every band — well over
+    HOT_BUCKET_THRESHOLD) must be windowed by N_SUBBUCKETS parallel
+    groups, not sorted by one straggler task; candidates stay linear and
+    the bucket stays one component"""
     from pyspark.sql import functions as F
-    from pyxml_spark.pipeline.dedup import (N_BANDS, N_SUBBUCKETS,
+    from pyxml_spark.pipeline.dedup import (HOT_BUCKET_THRESHOLD, N_BANDS,
                                             PAIR_WINDOW, candidate_pairs,
-                                            minhash_bands, token_sets)
+                                            minhash_bands, salt_expr,
+                                            token_sets)
     n = 2000
+    assert n // 2 > HOT_BUCKET_THRESHOLD
     rows = [(d, 'alpha beta gamma delta epsilon')
             for d in range(n // 2)] + \
            [(d, f'uniq{d}a uniq{d}b uniq{d}c') for d in range(n // 2, n)]
     df = spark.createDataFrame(rows, 'doc_id long, text string')
     bands = minhash_bands(token_sets(df)).cache()
-    salt = (F.conv(F.substring(
-        F.md5(F.col('doc_id').cast('string').cast('binary')), 1, 15),
-        16, 10).cast('long') % N_SUBBUCKETS)
-    sizes = (bands.select('band_id', 'band_key', salt.alias('salt'))
-             .groupBy('band_id', 'band_key', 'salt').count().collect())
-    biggest = max(r['count'] for r in sizes)
+    # the hot bucket's salted window groups, exactly as candidate_pairs
+    # partitions them (band-dependent salt, hot buckets only)
+    hot_sizes = (bands.groupBy('band_id', 'band_key').count()
+                 .where(F.col('count') > HOT_BUCKET_THRESHOLD))
+    assert hot_sizes.count() > 0, 'corpus must contain a hot bucket'
+    hot_keys = {(r.band_id, r.band_key) for r in hot_sizes.collect()}
+    salted = bands.select('band_id', 'band_key', 'doc_id',
+                          salt_expr().alias('salt'))
+    sizes = (salted.groupBy('band_id', 'band_key', 'salt').count()
+             .collect())
+    biggest = max(r['count'] for r in sizes
+                  if (r.band_id, r.band_key) in hot_keys)
     # the hot bucket (1000 docs) must be split roughly 8 ways
     assert biggest < (n // 2) * 0.25, biggest
     pairs = candidate_pairs(bands)
@@ -233,6 +243,19 @@ def test_hot_bucket_no_single_task_sort(spark):
     comp = _components(got, range(n))
     assert len({comp[d] for d in range(n // 2)}) == 1, \
         'identical docs must remain one connected component'
+
+
+def test_small_mixed_bucket_keeps_full_pairing(spark):
+    """regression (r3 code review): salting must NOT split small buckets —
+    in a 3-doc bucket every in-window pair must be generated even when the
+    members' salts differ, otherwise a true near-dup pair separated by an
+    interloper is never jaccard-tested"""
+    from pyxml_spark.pipeline.dedup import candidate_pairs
+    bands = spark.createDataFrame(
+        [(0, 'k', d) for d in (0, 1, 13)],
+        'band_id long, band_key string, doc_id long')
+    got = {(r.doc_a, r.doc_b) for r in candidate_pairs(bands).collect()}
+    assert got == {(0, 1), (0, 13), (1, 13)}, got
 
 
 def test_chain_component_converges_fast(spark):
