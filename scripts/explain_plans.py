@@ -123,15 +123,19 @@ def main() -> int:
         add('resume_stats_partition_pruned', fresh,
             must_contain=['PartitionFilters: [bucket'])
 
-    # 9. minhash candidate generation: LEAD over the band-bucket window —
-    # exactly one exchange feeds the window (band keys) and there is no
-    # join anywhere before the distinct (the r1 band self-join is gone)
+    # 9. minhash candidate generation: LEAD over the band-bucket window.
+    # The only join is the BROADCAST of the hot-bucket key set (one row
+    # per oversized bucket) — no shuffle join, and in particular no
+    # self-join of bucket members (the r1 quadratic blowup stays gone)
     from pyxml_spark.pipeline.dedup import (candidate_pairs, minhash_bands,
                                             token_sets)
     cand_plan = plan_of(candidate_pairs(minhash_bands(token_sets(docs))))
     sections.append(('dedup_candidate_pairs', cand_plan))
-    checks.append(('dedup_candidate_pairs', 'no join (LEAD window instead)',
-                   'Join' not in cand_plan))
+    checks.append(('dedup_candidate_pairs',
+                   'no shuffle join (broadcast hot-key set only)',
+                   'SortMergeJoin' not in cand_plan
+                   and 'ShuffledHashJoin' not in cand_plan
+                   and 'BroadcastHashJoin' in cand_plan))
     checks.append(('dedup_candidate_pairs', 'window over band buckets',
                    'Window' in cand_plan))
 
