@@ -46,19 +46,27 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f'{name}.parquet'))
 
 
-def _staging_dir(prefix: str) -> str:
-    """fresh temp staging dir for a streaming contract query. Stale dirs
-    from earlier invocations (this process or crashed ones) are removed
-    first so repeated contract/bench runs cannot grow /tmp without bound;
-    a FRESH dir per run is still required because reusing a file-stream
-    checkpoint over rewritten input would treat the new part files (new
-    UUID names) as additional data and duplicate the sink rows."""
+def _staging_dir(prefix: str, stale_after_s: int = 2 * 3600) -> str:
+    """fresh temp staging dir for a streaming contract query. Dirs from
+    earlier invocations are removed once OLD enough to be certainly dead
+    (mtime over ``stale_after_s`` — a plain glob-and-delete would tear
+    down a CONCURRENT process's in-flight stream mid-query), so repeated
+    contract/bench runs cannot grow /tmp without bound. A FRESH dir per
+    run is still required because reusing a file-stream checkpoint over
+    rewritten input would treat the new part files (new UUID names) as
+    additional data and duplicate the sink rows."""
     import glob
     import shutil
     import tempfile
+    import time
+    cutoff = time.time() - stale_after_s
     for stale in glob.glob(os.path.join(tempfile.gettempdir(),
                                         f'{prefix}*')):
-        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix)
 
 

@@ -78,18 +78,27 @@ def main(argv=None) -> int:
             stages_run.append('toks')
         toks = spark.read.parquet(toks_path)
 
-        # stage 2: candidate pairs + exact-jaccard verification
+        # stage 2: band keys — staged because candidate_pairs consumes the
+        # bands THREE times (hot-bucket sizes, the salted window, the rep
+        # chain); an unstaged minhash_bands would re-run the expensive
+        # one-md5-per-token 64-perm signature pass once per branch
+        bands_path = os.path.join(out_dir, 'bands.parquet')
+        if not committed(bands_path):
+            minhash_bands(toks).write.mode('overwrite').parquet(bands_path)
+            stages_run.append('bands')
+
+        # stage 3: candidate pairs + exact-jaccard verification
         pairs_path = os.path.join(out_dir, 'dup_pairs.parquet')
         if not committed(pairs_path):
             cands = candidate_pairs(
-                minhash_bands(toks),
+                spark.read.parquet(bands_path),
                 pair_window=args.pair_window or PAIR_WINDOW)
             jaccard_pairs(toks, cands,
                           dup_threshold_x10k=args.dup_threshold_x10k) \
                 .write.mode('overwrite').parquet(pairs_path)
             stages_run.append('pairs')
 
-        # stage 3: connected-component keepers
+        # stage 4: connected-component keepers
         keepers_path = os.path.join(out_dir, 'keepers.parquet')
         if not committed(keepers_path):
             dups = (spark.read.parquet(pairs_path)

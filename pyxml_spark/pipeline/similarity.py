@@ -147,10 +147,12 @@ def grid_assign(vec_df: DataFrame, n_bits: int = 8, col: str = 'v',
 def grid_ivf_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
                   n_bits: int = 8, probe_hamming: int = 1) -> DataFrame:
     """IVF probe over the grid quantizer: the query's own orthant plus all
-    Hamming<=1 sign flips (n_bits+1 of the 2^n_bits lists), exact cosine
-    rerank within the probed lists. At the default 8 bits the probe
-    touches 9/256 lists ≈ 3.5% of a sign-balanced corpus (the r2 default
-    of 3 bits probed 4/8 = 50%)."""
+    sign flips within ``probe_hamming`` (radius 1 = the n_bits single
+    flips; radius 2 adds the C(n_bits, 2) pair flips — :func:`_flip_masks`),
+    exact cosine rerank within the probed lists. At the default 8 bits /
+    radius 1 the probe touches 9/256 lists ≈ 3.5% of a sign-balanced
+    corpus (the r2 default of 3 bits probed 4/8 = 50%); radius 2 touches
+    37/256 ≈ 14% for recall-critical queries."""
     corpus = grid_assign(vec_df, n_bits)
     query = grid_assign(query_df.withColumnRenamed('q', 'v'), n_bits) \
         .withColumnRenamed('v', 'q').withColumnRenamed('list_id', 'qlist')

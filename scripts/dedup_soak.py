@@ -174,7 +174,7 @@ def main(argv=None) -> int:
         }
         print(json.dumps(out))
 
-        md = f"""# BENCH/DEDUP_SOAK — 1M-document end-to-end near-dup run
+        md = f"""# BENCH/DEDUP_SOAK ({n:,} docs) — end-to-end near-dup run
 
 Corpus: {n:,} synthetic docs (in-Spark deterministic generation — 5%
 degenerate hot cluster of byte-identical docs, {pair_total:,} planted
@@ -201,7 +201,10 @@ linearly in the bucket's share, never quadratically, and the sub-bucket
 count is a knob. Component resolution converges via pointer doubling in
 O(log diameter) rounds (raises on non-convergence).
 """
-        with open(os.path.join(REPO, 'BENCH', 'DEDUP_SOAK.md'), 'w') as fh:
+        # per-scale raw report; BENCH/DEDUP_SOAK.md is the curated
+        # cross-scale summary and is never clobbered by a re-run
+        out_md = os.path.join(REPO, 'BENCH', f'DEDUP_SOAK_{n}.md')
+        with open(out_md, 'w') as fh:
             fh.write(md)
         return 0
     finally:

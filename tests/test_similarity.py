@@ -213,3 +213,33 @@ def test_multiprobe_hamming2_recall_uplift(spark):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1
     assert r2 >= 5, f'radius-2 single-table recall {r2}/8'
+
+
+def test_grid_multiprobe_hamming2(spark, vectors):
+    """radius-2 grid probing must (a) probe exactly the 1 + n + C(n,2)
+    lists of the query's orthant neighborhood and (b) never lose results
+    vs radius 1 — every radius-1 candidate list is probed at radius 2"""
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.similarity import (_flip_masks, grid_assign,
+                                                 grid_ivf_topk)
+    n_bits = 6
+    masks = _flip_masks(n_bits, 2)
+    assert len(masks) == n_bits + n_bits * (n_bits - 1) // 2
+    assert len(set(masks)) == len(masks) and 0 not in masks
+    q = vectors.where(F.col('vec_id') == 7).select(F.col('v').alias('q'))
+    r1 = {r.vec_id: r.cos_sim for r in
+          grid_ivf_topk(vectors, q, k=10, n_bits=n_bits,
+                        probe_hamming=1).collect()}
+    r2 = {r.vec_id: r.cos_sim for r in
+          grid_ivf_topk(vectors, q, k=10, n_bits=n_bits,
+                        probe_hamming=2).collect()}
+    # radius-2's candidate set is a superset, so its top-10 scores
+    # dominate radius-1's
+    assert min(r2.values()) >= min(r1.values())
+    assert 7 in r1 and 7 in r2
+    # superset check on the actual probed lists
+    qlist = grid_assign(q.withColumnRenamed('q', 'v'), n_bits) \
+        .first()['list_id']
+    probed1 = {qlist} | {qlist ^ m for m in _flip_masks(n_bits, 1)}
+    probed2 = {qlist} | {qlist ^ m for m in masks}
+    assert probed1 < probed2
