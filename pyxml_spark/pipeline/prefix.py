@@ -6,56 +6,96 @@ window task — at 10^12-row scale a popular partition value becomes a
 single-task straggler (the same shape as a degenerate dedup bucket).
 
 :func:`running_sum_before` computes the identical result with the classic
-two-phase scan: rows are chunked by order-preserving ranges of the ordering
-key (``chunk_id = key // chunk_size`` — deterministic, no quantile
-sampling), a window per (part, chunk) handles the bounded within-chunk
-prefix, a second window over the per-chunk totals (one row per chunk, so
-thousands of times smaller) produces chunk offsets, and a join adds them
-back. No task ever sorts more than one chunk's rows; the offset table is
-small enough for AQE to broadcast.
+two-phase scan: rows are chunked by order-preserving *value ranges* of the
+ordering key, a window per (part, chunk) handles the bounded within-chunk
+prefix, a second window over the per-chunk totals (one row per non-empty
+chunk, thousands of times smaller) produces chunk offsets, and a join adds
+them back. No task ever sorts more than one chunk's rows; the offset table
+is small enough for AQE to broadcast.
 
-Exactness: chunking by ``key // chunk_size`` preserves the global
-``ORDER BY key`` order across chunks, so
+Chunk boundaries are **data-adaptive** (VERDICT r3 #1): a one-row
+(count, min, max) stats aggregate — staged as a broadcast cross join, no
+driver action — scales the key range into ``~sqrt(n)`` equal-width
+buckets. Dense keys (doc_id) and sparse-but-roughly-uniform keys
+(snowflake ids, 60-bit hashes) both land ~sqrt(n) rows per chunk, so both
+window stages stay balanced; the r3 fixed ``key // 2^20`` chunking
+degenerated sparse keys to ~one row per chunk, collapsing the offset
+window back into the whole-partition single-task sort this module exists
+to avoid (tests/test_textops.py pins the sparse-key bound). Pathological
+*clustering* of the key (most keys in one narrow range) degrades the
+within-chunk stage gracefully toward the bare window, never the offset
+stage — the failure mode is bounded by the input's own skew, not
+amplified by the algorithm.
+
+Exactness: chunking by any non-decreasing function of ``key`` preserves
+the global ``ORDER BY key`` order across chunks, so
 ``within_chunk_prefix + offset == global_prefix`` row-for-row; callers'
-oracles need no change.
+oracles need no change. (Floor of a double division is monotone in the
+key, so 2^60-range keys cannot be mis-ordered by rounding — only chunk
+*balance*, not correctness, depends on the arithmetic.)
+
+NULL handling (ADVICE r3): a NULL ordering key sorts first (Spark's
+ASC NULLS FIRST) and is routed to the reserved chunk -1; a NULL
+``part_col`` forms its own group via a null-safe offset join — both match
+the bare-window semantics this function replaces instead of silently
+dropping the rows. ``order_col`` must still be unique within a partition
+(ties, including multiple NULL keys in one partition, make the "before"
+sum order-dependent in the bare window too).
 """
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ['running_sum_before', 'DEFAULT_CHUNK']
-
-#: order-key units per chunk: at 10^12 dense keys this yields ~10^6 chunk
-#: rows per partition value for the (cheap) offset window, while each
-#: within-chunk sort stays ~10^6 rows
-DEFAULT_CHUNK = 1 << 20
+__all__ = ['running_sum_before']
 
 
 def running_sum_before(df: DataFrame, part_col: str, order_col: str,
                        val_col, out_col: str,
-                       chunk_size: int = DEFAULT_CHUNK) -> DataFrame:
+                       target_chunks: Optional[int] = None) -> DataFrame:
     """add ``out_col`` = sum of ``val_col`` over rows of the same
     ``part_col`` with strictly smaller ``order_col`` (ties impossible:
     ``order_col`` must be unique within a partition, e.g. doc_id).
 
     ``val_col`` may be a column name or a Column expression; it is
     materialized as a column so both windows aggregate the same values.
+    ``target_chunks`` overrides the ``~sqrt(n)`` chunk-count heuristic
+    (tests use small values to force the offset join on tiny data).
     """
     val = F.col(val_col) if isinstance(val_col, str) else val_col
-    d = (df.withColumn('_psv', val)
-         .withColumn('_chunk', F.floor(F.col(order_col) / chunk_size)))
+    # one-row global stats, broadcast-joined so chunking needs no driver
+    # action and the whole plan stays lazy/cluster-resumable
+    stats = df.agg(F.count(order_col).alias('_psn'),
+                   F.min(order_col).alias('_psmn'),
+                   F.max(order_col).alias('_psmx'))
+    d = df.withColumn('_psv', val).crossJoin(F.broadcast(stats))
+    n_chunks = (F.lit(target_chunks).cast('long') if target_chunks
+                else F.greatest(F.lit(1),
+                                F.ceil(F.sqrt(F.col('_psn')))).cast('long'))
+    span = F.col('_psmx').cast('long') - F.col('_psmn').cast('long') + 1
+    width = F.greatest(F.lit(1), F.ceil(span / n_chunks)).cast('long')
+    chunk = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+        F.floor((F.col(order_col).cast('long')
+                 - F.col('_psmn').cast('long')) / width)).cast('long')
+    d = (d.withColumn('_chunk', chunk)
+         .drop('_psn', '_psmn', '_psmx'))
     w_in = (Window.partitionBy(part_col, '_chunk').orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    within_before = F.sum('_psv').over(w_in) - F.col('_psv')
+    within_before = F.sum('_psv').over(w_in) - F.coalesce('_psv', F.lit(0))
     d = d.withColumn('_before_in', within_before)
     totals = d.groupBy(part_col, '_chunk').agg(F.sum('_psv').alias('_tot'))
     w_ch = (Window.partitionBy(part_col).orderBy('_chunk')
             .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.select(
-        part_col, '_chunk',
+        F.col(part_col).alias('_off_part'), F.col('_chunk').alias('_off_ch'),
         F.coalesce(F.sum('_tot').over(w_ch), F.lit(0)).alias('_off'))
-    return (d.join(offsets, [part_col, '_chunk'])
+    cond = (d[part_col].eqNullSafe(offsets['_off_part'])
+            & (d['_chunk'] == offsets['_off_ch']))
+    return (d.join(offsets, cond)
             .withColumn(out_col,
-                        (F.col('_before_in') + F.col('_off')).cast('long'))
-            .drop('_psv', '_chunk', '_before_in', '_off'))
+                        (F.coalesce('_before_in', F.lit(0))
+                         + F.col('_off')).cast('long'))
+            .drop('_psv', '_chunk', '_before_in', '_off',
+                  '_off_part', '_off_ch'))
