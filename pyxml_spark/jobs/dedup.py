@@ -46,13 +46,24 @@ def main(argv=None) -> int:
         'SPARK_GRAFT_CPUS', '8')))
     ap.add_argument('--resume', action='store_true',
                     help='skip stages whose output already committed '
-                         '(_SUCCESS present) in --output — a killed run '
-                         'restarts at the first incomplete stage instead '
-                         'of recomputing signatures for the whole corpus')
+                         '(_SUCCESS present AND the stage manifest matches '
+                         'this invocation\'s parameters) in --output — a '
+                         'killed run restarts at the first incomplete stage '
+                         'instead of recomputing signatures for the whole '
+                         'corpus, and a changed --input/--pair-window/'
+                         '--dup-threshold-x10k invalidates stale outputs '
+                         'instead of silently reusing them')
+    ap.add_argument('--checkpoint-dir', default=None,
+                    help='reliable checkpoint dir (HDFS/object store on a '
+                         'cluster) for the component-resolution iteration; '
+                         'default falls back to localCheckpoint, which does '
+                         'not survive executor loss')
     args = ap.parse_args(argv)
 
     from pyxml_spark.jobs.extract import build_session
-    from pyxml_spark.pipeline.dedup import (PAIR_WINDOW, candidate_pairs,
+    from pyxml_spark.pipeline.dedup import (HOT_BUCKET_THRESHOLD, MH_PRIME,
+                                            N_BANDS, N_PERMS, N_SUBBUCKETS,
+                                            PAIR_WINDOW, candidate_pairs,
                                             dup_components, jaccard_pairs,
                                             minhash_bands, token_sets)
     from pyspark.sql import functions as F
@@ -62,19 +73,51 @@ def main(argv=None) -> int:
         out_dir = args.output or tempfile.mkdtemp(prefix='pyxml_dedup_')
         t0 = time.time()
 
-        def committed(path: str) -> bool:
-            return args.resume and os.path.exists(
-                os.path.join(path, '_SUCCESS'))
+        def stage_params(stage: str) -> dict:
+            """parameters a stage's output depends on — the resume manifest.
+            Later stages include earlier stages' params (their inputs), so
+            e.g. changing --input invalidates everything while changing
+            --dup-threshold-x10k leaves toks/bands reusable."""
+            p = {'manifest_version': 1, 'stage': stage,
+                 'input': os.path.abspath(args.input),
+                 'id_col': args.id_col, 'text_col': args.text_col,
+                 'mh_prime': MH_PRIME}
+            if stage in ('bands', 'pairs', 'keepers'):
+                p.update(n_perms=N_PERMS, n_bands=N_BANDS)
+            if stage in ('pairs', 'keepers'):
+                p.update(pair_window=args.pair_window or PAIR_WINDOW,
+                         n_subbuckets=N_SUBBUCKETS,
+                         hot_threshold=HOT_BUCKET_THRESHOLD,
+                         dup_threshold_x10k=args.dup_threshold_x10k)
+            return p
+
+        def manifest_path(path: str) -> str:
+            return path + '.manifest.json'
+
+        def committed(path: str, stage: str) -> bool:
+            if not (args.resume
+                    and os.path.exists(os.path.join(path, '_SUCCESS'))):
+                return False
+            try:
+                with open(manifest_path(path)) as f:
+                    return json.load(f) == stage_params(stage)
+            except (OSError, ValueError):
+                return False
+
+        def mark(path: str, stage: str) -> None:
+            with open(manifest_path(path), 'w') as f:
+                json.dump(stage_params(stage), f, sort_keys=True)
 
         stages_run = []
 
         # stage 1: token sets (staged so later stages and restarts reuse
         # the one-md5-per-token pass instead of recomputing it)
         toks_path = os.path.join(out_dir, 'toks.parquet')
-        if not committed(toks_path):
+        if not committed(toks_path, 'toks'):
             token_sets(spark.read.parquet(args.input),
                        text_col=args.text_col, id_col=args.id_col) \
                 .write.mode('overwrite').parquet(toks_path)
+            mark(toks_path, 'toks')
             stages_run.append('toks')
         toks = spark.read.parquet(toks_path)
 
@@ -83,28 +126,32 @@ def main(argv=None) -> int:
         # chain); an unstaged minhash_bands would re-run the expensive
         # one-md5-per-token 64-perm signature pass once per branch
         bands_path = os.path.join(out_dir, 'bands.parquet')
-        if not committed(bands_path):
+        if not committed(bands_path, 'bands'):
             minhash_bands(toks).write.mode('overwrite').parquet(bands_path)
+            mark(bands_path, 'bands')
             stages_run.append('bands')
 
         # stage 3: candidate pairs + exact-jaccard verification
         pairs_path = os.path.join(out_dir, 'dup_pairs.parquet')
-        if not committed(pairs_path):
+        if not committed(pairs_path, 'pairs'):
             cands = candidate_pairs(
                 spark.read.parquet(bands_path),
                 pair_window=args.pair_window or PAIR_WINDOW)
             jaccard_pairs(toks, cands,
                           dup_threshold_x10k=args.dup_threshold_x10k) \
                 .write.mode('overwrite').parquet(pairs_path)
+            mark(pairs_path, 'pairs')
             stages_run.append('pairs')
 
         # stage 4: connected-component keepers
         keepers_path = os.path.join(out_dir, 'keepers.parquet')
-        if not committed(keepers_path):
+        if not committed(keepers_path, 'keepers'):
             dups = (spark.read.parquet(pairs_path)
                     .where(F.col('is_dup')).select('doc_a', 'doc_b'))
-            dup_components(toks, dups) \
+            dup_components(toks, dups,
+                           checkpoint_dir=args.checkpoint_dir) \
                 .write.mode('overwrite').parquet(keepers_path)
+            mark(keepers_path, 'keepers')
             stages_run.append('keepers')
 
         kept = spark.read.parquet(keepers_path)

@@ -284,3 +284,49 @@ def test_nonconvergence_raises(spark):
                                   'doc_a long, doc_b long')
     with _pytest.raises(RuntimeError, match='did not converge'):
         dup_components(toks, pairs, max_iters=2)
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """VERDICT r3 #2: with checkpoint_dir set, component resolution uses
+    reliable checkpoint() (files land in the dir, so lineage survives
+    executor loss on a real cluster) and still returns the same keepers"""
+    import os
+    from pyxml_spark.pipeline.dedup import dup_components
+    n = 64
+    ckpt = str(tmp_path / 'ckpt')
+    toks = spark.createDataFrame([(d,) for d in range(n)], 'doc_id long')
+    pairs = spark.createDataFrame([(d, d + 1) for d in range(n - 1)],
+                                  'doc_a long, doc_b long')
+    got = {r.doc_id: r.keeper for r in
+           dup_components(toks, pairs, max_iters=16,
+                          checkpoint_dir=ckpt).collect()}
+    assert got == {d: 0 for d in range(n)}
+    found = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+    assert found, 'checkpoint() must materialize files in checkpoint_dir'
+
+
+def test_dedup_job_resume_manifest_invalidates_on_param_change(tmp_path):
+    """ADVICE r3: --resume only honors a stage's _SUCCESS when its params
+    manifest matches the current invocation — changing --dup-threshold-x10k
+    must re-run pairs+keepers but reuse toks+bands"""
+    import json
+    from pyxml_spark.jobs.dedup import main
+    out = str(tmp_path / 'dedup_out')
+    base = ['--input', '/root/testdata/sf0.001/documents.parquet',
+            '--output', out, '--cpus', '4']
+    assert main(base) == 0
+    # identical resume: nothing re-runs
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(base + ['--resume']) == 0
+    rerun = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rerun['stages_run'] == []
+    # changed threshold: toks/bands reused, pairs/keepers recomputed
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(base + ['--resume', '--dup-threshold-x10k',
+                            '9000']) == 0
+    changed = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert changed['stages_run'] == ['pairs', 'keepers']
