@@ -149,6 +149,15 @@ def main() -> int:
                        'BroadcastHashJoin' in ann_plan))
         checks.append((qname, 'top-k without global sort',
                        'TakeOrderedAndProject' in ann_plan))
+        if qname == 'ann_lsh_topk':
+            # r3 #6: the corpus must not posexplode x n_tables into the
+            # probe join — candidate ids come from per-table LEFT SEMI
+            # joins against broadcast probe keys (embeddings never ride
+            # the probe join), then one exact rerank
+            checks.append((qname, 'no corpus fan-out (per-table semi-join)',
+                           'Generate' not in ann_plan
+                           and ann_plan.count('LeftSemi')
+                           >= entry._ANN_TABLES))
 
     # 11. corpus-level boilerplate strip: the vocab-bounded boilerplate set
     # broadcasts into the anti-join; the token table itself never shuffles

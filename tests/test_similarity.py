@@ -35,7 +35,8 @@ def test_lsh_recall_vs_brute_force(spark, vectors):
         exact = {r.vec_id for r in
                  brute_force_topk(vectors, q, k=10).collect()}
         approx = {r.vec_id for r in
-                  lsh_topk(vectors, q, k=10, n_planes=6).collect()}
+                  lsh_topk(vectors, q, k=10, n_planes=6,
+                           dim=64).collect()}
         assert qid in approx, 'query vector must match itself'
         hits += len(exact & approx)
         total += len(exact)
@@ -51,7 +52,7 @@ def test_lsh_candidate_reduction(spark, vectors):
     from pyxml_spark.pipeline.similarity import add_lsh_signature
 
     n = vectors.count()
-    sigs = add_lsh_signature(vectors, n_planes=6)
+    sigs = add_lsh_signature(vectors, n_planes=6, dim=64)
     counts = sigs.groupBy('sig').count().collect()
     largest = max(r['count'] for r in counts)
     # 7 probes (self + 6 single-bit flips) x largest bucket bounds candidates
@@ -61,10 +62,37 @@ def test_lsh_candidate_reduction(spark, vectors):
 def test_signature_deterministic(spark, vectors):
     from pyxml_spark.pipeline.similarity import add_lsh_signature
     a = {r.vec_id: r.sig for r in
-         add_lsh_signature(vectors, n_planes=8).collect()}
+         add_lsh_signature(vectors, n_planes=8, dim=64).collect()}
     b = {r.vec_id: r.sig for r in
-         add_lsh_signature(vectors, n_planes=8).collect()}
+         add_lsh_signature(vectors, n_planes=8, dim=64).collect()}
     assert a == b
+
+
+def test_signature_requires_dim(spark, vectors):
+    """VERDICT r3 #5: no driver-side dimension probe — omitting dim must
+    raise instead of silently collecting a row per call"""
+    from pyxml_spark.pipeline.similarity import add_lsh_signature, lsh_topk
+    with pytest.raises(ValueError, match='dim'):
+        add_lsh_signature(vectors, n_planes=8)
+    with pytest.raises(ValueError, match='dim'):
+        lsh_topk(vectors, vectors.limit(1).select('v'), k=2)
+
+
+def test_lsh_topk_no_corpus_fanout(spark, vectors):
+    """VERDICT r3 #6: the probe joins must not posexplode/Generate the
+    corpus x n_tables — each table semi-joins (vec_id, sig) against its
+    broadcast probe keys, and only candidate IDS flow to the one rerank"""
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.similarity import lsh_topk
+    import io
+    from contextlib import redirect_stdout
+    q = vectors.where(F.col('vec_id') == 0).select(F.col('v').alias('q'))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lsh_topk(vectors, q, k=10, dim=64).explain('formatted')
+    plan = buf.getvalue()
+    assert 'Generate' not in plan, 'corpus fan-out reintroduced'
+    assert plan.count('LeftSemi') >= 4, 'per-table semi-joins expected'
 
 
 def test_ivf_recall_vs_brute_force(spark, vectors):
