@@ -108,11 +108,16 @@ def fake_resize(payload: bytes, meta: Optional[dict],
     """deterministic stand-in for an image resize: output bytes are a stable
     function of (payload, target geometry) sized ~proportional to the target
     area, so batch-size/memory behavior downstream is realistic. Replace via
-    RESIZERS['image'] with a Pillow implementation in production."""
+    RESIZERS['image'] with a Pillow implementation in production.
+
+    The geometry seed is an ASCII suffix (``:WxH``), not packed binary, so
+    the contract oracle can recompute the head block as
+    ``sha256(payload || ':WxH')`` in DuckDB (whose sha256 takes VARCHAR —
+    packed ints would smuggle NUL bytes into the string)."""
     if not payload:
         raise ValueError('empty media payload')
     n = max(16, min(width * height // 64, 4096))
-    seed = hashlib.sha256(payload + struct.pack('>II', width, height))
+    seed = hashlib.sha256(payload + f':{width}x{height}'.encode())
     out = bytearray()
     block = seed.digest()
     while len(out) < n:
@@ -131,7 +136,8 @@ def fake_frame_sample(payload: bytes, meta: Optional[dict],
         raise ValueError('empty media payload')
     duration = (meta or {}).get('duration_ms') or 0
     n_frames = max(1, duration // every_ms) if duration else 1
-    return [hashlib.sha256(payload + struct.pack('>I', k)).digest()
+    # ASCII frame seed for the same DuckDB-twin reason as fake_resize
+    return [hashlib.sha256(payload + f':frame:{k}'.encode()).digest()
             for k in range(min(n_frames, 64))]
 
 
