@@ -1152,6 +1152,46 @@ def q_media_features(spark, sf_dir) -> DataFrame:
         'decode_error')
 
 
+def q_subword_count(spark, sf_dir) -> DataFrame:
+    """real subword tokenization (VERDICT r3 #8): whitespace words are
+    split JVM-side (the corpus's one splitter definition), then the
+    committed BPE merge table (pipeline/bpe_merges.json, trained by
+    scripts/train_bpe.py) is applied per word by the greedy ranked-merge
+    algorithm in an Arrow-batched kernel (pipeline/tokenize.py). Because
+    every BPE symbol is one char, the oracle reproduces the count with a
+    rank-ordered replace chain — provably the same result."""
+    from pyxml_spark.pipeline.tokenize import subword_counts
+    docs = _table(spark, sf_dir, 'documents')
+    trimmed = F.trim(F.col('text'))
+    words = F.when(trimmed == '', F.array().cast('array<string>')) \
+        .otherwise(F.split(trimmed, r'\s+'))
+    d = docs.select('doc_id', words.alias('words'))
+    return subword_counts(d).select(
+        F.col('doc_id').cast('long').alias('doc_id'),
+        F.col('n_subwords').cast('long').alias('n_subwords'))
+
+
+def _bpe_sql() -> str:
+    """DuckDB twin of q_subword_count: the committed merge table as a
+    rank-ordered replace chain (see pipeline/tokenize.py for why the chain
+    equals greedy BPE), summed over the same \\s+ word split."""
+    from pyxml_spark.pipeline.tokenize import load_merges
+    chain = 'word'
+    for i, (a, b) in enumerate(load_merges()):
+        pair = (a + b).replace("'", "''")
+        rep = chr(0xE000 + i)
+        chain = f"replace({chain}, '{pair}', '{rep}')"
+    return f"""
+        WITH w AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(trim(text),
+                                                       '\\s+')) AS word
+                   FROM documents WHERE trim(text) <> ''),
+             c AS (SELECT doc_id, SUM(length({chain})) AS n
+                   FROM w GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_subwords
+        FROM documents d LEFT JOIN c USING (doc_id)"""
+
+
 def q_streaming_dedup(spark, sf_dir) -> DataFrame:
     """the streaming exact-dedup operator
     (pipeline/streaming.dedup_stream — dropDuplicatesWithinWatermark,
@@ -1317,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_dedup': q_streaming_dedup,
         'media_resize': q_media_resize,
         'media_frames': q_media_frames,
+        'subword_count': q_subword_count,
     }
 
 
@@ -2000,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'ValueError: empty media payload'
                    END AS decode_error
             FROM f""",
+        'subword_count': _bpe_sql(),
         'streaming_dedup': """
             SELECT md5(text) AS fp,
                    CAST(length(text) AS BIGINT) AS n_chars
