@@ -826,6 +826,28 @@ def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
     return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
 
 
+_ANN_BATCH_QUERIES = 5
+
+
+def q_ann_batch_topk(spark, sf_dir) -> DataFrame:
+    """batched multi-query ANN (pipeline/similarity.lsh_topk_batch): the
+    first 5 corpus vectors as a (qid, q) query table, all probed in ONE
+    plan — per-table broadcast joins of (qid, probe) keys against the
+    shared LSH index, one rerank, one per-qid ranking window. This is the
+    fan-out shape similarity search takes at cluster scale; the per-query
+    q_ann_lsh_topk pays fixed plan/codegen per driver job."""
+    from pyxml_spark.pipeline.similarity import (as_double_vec,
+                                                 lsh_topk_batch)
+    emb = _table(spark, sf_dir, 'embeddings')
+    vec = as_double_vec(emb).select('vec_id', 'v')
+    queries = vec.where(F.col('vec_id') < _ANN_BATCH_QUERIES) \
+        .select(F.col('vec_id').alias('qid'), F.col('v').alias('q'))
+    out = lsh_topk_batch(vec, queries, k=10, n_planes=_ANN_PLANES,
+                         n_tables=_ANN_TABLES, dim=_EMB_DIM)
+    return out.select(F.col('qid').cast('long').alias('qid'), 'vec_id',
+                      F.round('cos_sim', 4).alias('cos_sim'), 'rnk')
+
+
 def _pdf_blocks(spark, sf_dir) -> DataFrame:
     """documents.text -> deterministic FPDF binary payloads -> layout blocks
     (binary-column plumbing + explode kernel, pyxml_spark.pipeline.layout)"""
@@ -1342,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_near_dup': q_embedding_near_dup,
         'simsearch_topk': q_simsearch_topk,
         'ann_lsh_topk': q_ann_lsh_topk,
+        'ann_batch_topk': q_ann_batch_topk,
         'ann_ivf_topk': q_ann_ivf_topk,
         'join_rollup': q_join_rollup,
         'region_revenue': q_region_revenue,
@@ -1556,6 +1579,41 @@ def _ann_lsh_sql() -> str:
                        FROM c JOIN s ON s.vec_id = c.vec_id, q)
             SELECT vec_id, ROUND(cos, 4) AS cos_sim FROM r
             ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+def _ann_batch_sql() -> str:
+    """DuckDB twin of q_ann_batch_topk: multi-query probes carry qid
+    through the candidate union; per-qid ROW_NUMBER ranks the rerank"""
+    sig_cols = ', '.join(f'({_ann_sig_sql(t)}) AS sig{t}'
+                         for t in range(_ANN_TABLES))
+    qsig_cols = ', '.join(f'sig{t} AS qsig{t}' for t in range(_ANN_TABLES))
+    cand_selects = []
+    for t in range(_ANN_TABLES):
+        probes = [f'qsig{t}'] + [f'xor(qsig{t}, {1 << p})'
+                                 for p in range(_ANN_PLANES)]
+        cand_selects.append(
+            f"SELECT pr{t}.qid, s.vec_id FROM s JOIN "
+            f"(SELECT qid, unnest([{', '.join(probes)}]) AS probe FROM q) "
+            f"pr{t} ON s.sig{t} = pr{t}.probe")
+    cands = '\n                       UNION\n                       '.join(
+        cand_selects)
+    return f"""
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+                 s AS (SELECT vec_id, v, {sig_cols} FROM v),
+                 q AS (SELECT vec_id AS qid, {qsig_cols}, v AS qv FROM s
+                       WHERE vec_id < {_ANN_BATCH_QUERIES}),
+                 c AS ({cands}),
+                 r AS (SELECT c.qid, c.vec_id, {_COS_SQL} AS cos
+                       FROM c JOIN s ON s.vec_id = c.vec_id
+                              JOIN q ON q.qid = c.qid),
+                 w AS (SELECT qid, vec_id, cos,
+                              ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id ASC) AS rnk
+                       FROM r)
+            SELECT qid, vec_id, ROUND(cos, 4) AS cos_sim,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM w WHERE rnk <= 10"""
 
 
 def _ann_ivf_sql(n_bits: int = 8) -> str:
@@ -1969,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_inner_product(q, q))) DESC, vec_id ASC
             LIMIT 10""",
         'ann_lsh_topk': _ann_lsh_sql(),
+        'ann_batch_topk': _ann_batch_sql(),
         'ann_ivf_topk': _ann_ivf_sql(_ANN_IVF_BITS),
         'join_rollup': """
             SELECT o_orderpriority, COUNT(*) AS n_items,

@@ -32,8 +32,8 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ['as_double_vec', 'brute_force_topk', 'add_lsh_signature',
-           'lsh_topk', 'build_ivf', 'ivf_topk', 'grid_assign',
-           'grid_ivf_topk']
+           'build_lsh_index', 'lsh_topk', 'lsh_topk_batch', 'build_ivf',
+           'ivf_topk', 'grid_assign', 'grid_ivf_topk']
 
 
 def as_double_vec(df: DataFrame, col: str = 'embedding',
@@ -93,12 +93,78 @@ def add_lsh_signature(vec_df: DataFrame, n_planes: int = 16,
             'add_lsh_signature requires dim (embedding dimensionality): '
             'deriving it would need a driver-side row probe per call, '
             'which does not belong in a lazy plan builder')
-    sig = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(s) for s in _sign_vector(p, dim, table)])
-        proj = _dot(F.col(col), plane)
-        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
+    # all n_planes dot products in ONE aggregate traversal of the vector
+    # with an n_planes-wide accumulator (the minhash_bands lesson: N
+    # separate aggregate expressions cost ~10s of fixed analysis/codegen
+    # per plan and re-traverse the array per plane). The sign matrix is
+    # transposed to per-dimension columns so the fold visits v left to
+    # right exactly like the old per-plane left fold — addition order and
+    # therefore every float bit (and the DuckDB oracle) are unchanged.
+    signs = [_sign_vector(p, dim, table) for p in range(n_planes)]
+    # ONE py4j literal per matrix: element-wise F.lit trees cost thousands
+    # of driver round-trips per plan (several seconds of pure plan-build)
+    by_dim = F.lit([[signs[p][d] for p in range(n_planes)]
+                    for d in range(dim)])
+    acc = F.aggregate(
+        F.zip_with(F.col(col), by_dim,
+                   lambda x, s: F.transform(s, lambda si: si * x)),
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda a, contrib: F.zip_with(a, contrib, lambda u, w: u + w))
+    powers = F.lit([1 << p for p in range(n_planes)])
+    sig = F.aggregate(
+        F.zip_with(acc, powers,
+                   lambda proj, pw: F.when(proj >= 0, pw).otherwise(
+                       F.lit(0))),
+        F.lit(0), lambda a, x: a + x)
     return vec_df.withColumn(out, sig.cast('int'))
+
+
+def lsh_topk_batch(vec_df: DataFrame, queries_df: DataFrame, k: int = 10,
+                   n_planes: int = 16,
+                   n_tables: int = 4,
+                   probe_hamming: int = 1,
+                   dim: Optional[int] = None,
+                   index: Optional[DataFrame] = None) -> DataFrame:
+    """(qid, q) queries -> (qid, vec_id, cos_sim, rnk) top-k per query, in
+    ONE plan — the fan-out shape for similarity search at scale. The
+    per-query :func:`lsh_topk` pays a fixed plan/codegen cost per driver
+    job; batching amortizes it and turns probing into one broadcast join
+    of (qid, probe) keys per table: Q queries contribute Q x (1 + masks)
+    ints per table, broadcastable for millions of queries. Candidate
+    (qid, vec_id) pairs are deduped across tables, joined once to the
+    rerank vectors, and ranked with a per-qid window (each qid's candidate
+    group is bucket-occupancy-sized, so no large window partitions)."""
+    from pyspark.sql.window import Window
+    idx = index if index is not None \
+        else build_lsh_index(vec_df.select('vec_id', 'v'), n_planes,
+                             n_tables, dim=dim)
+    masks = vec_df.sparkSession.createDataFrame(
+        [(m,) for m in [0] + _flip_masks(n_planes, probe_hamming)],
+        'mask int')
+    cand = None
+    for t in range(n_tables):
+        q_t = add_lsh_signature(
+            queries_df.select('qid', F.col('q').alias('v')),
+            n_planes, out='qsig', dim=dim, table=t)
+        probe_keys = (q_t.crossJoin(masks)
+                      .select('qid',
+                              F.col('qsig').bitwiseXOR(F.col('mask'))
+                              .alias('probe'))
+                      .distinct())
+        c_t = (idx.select('vec_id', F.col(f'sig{t}').alias('sig'))
+               .join(F.broadcast(probe_keys),
+                     F.col('sig') == F.col('probe'), 'inner')
+               .select('qid', 'vec_id'))
+        cand = c_t if cand is None else cand.unionByName(c_t)
+    cands = cand.distinct()
+    scored = (cands.join(vec_df.select('vec_id', 'v'), 'vec_id')
+              .join(F.broadcast(queries_df), 'qid')
+              .select('qid', 'vec_id', _cosine('v', 'q').alias('cos_sim')))
+    w = Window.partitionBy('qid').orderBy(F.desc('cos_sim'),
+                                          F.asc('vec_id'))
+    return (scored.withColumn('rnk',
+                              F.row_number().over(w).cast('long'))
+            .where(F.col('rnk') <= k))
 
 
 def build_ivf(vec_df: DataFrame, n_lists: int = 16, seed: int = 42):
@@ -188,11 +254,29 @@ def _flip_masks(n_bits: int, hamming: int) -> List[int]:
     return masks
 
 
+def build_lsh_index(vec_df: DataFrame, n_planes: int = 16,
+                    n_tables: int = 4,
+                    dim: Optional[int] = None) -> DataFrame:
+    """(vec_id, v, sig0..sig{n_tables-1}): the multi-table LSH index.
+
+    Build once, persist (parquet/cache), and pass to :func:`lsh_topk` as
+    ``index`` so the per-corpus signature pass (n_tables x n_planes dot
+    products per vector) is amortized across queries instead of recomputed
+    per query — the difference between an index lookup and a re-index at
+    10^9 vectors (scripts/ann_soak.py measures both shapes)."""
+    out = vec_df
+    for t in range(n_tables):
+        out = add_lsh_signature(out, n_planes, out=f'sig{t}', dim=dim,
+                                table=t)
+    return out
+
+
 def lsh_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
              n_planes: int = 16,
              n_tables: int = 4,
              probe_hamming: int = 1,
-             dim: Optional[int] = None) -> DataFrame:
+             dim: Optional[int] = None,
+             index: Optional[DataFrame] = None) -> DataFrame:
     """multi-table bucketed ANN: each of ``n_tables`` independent plane
     families buckets the corpus; a candidate shares the query's bucket
     (plus all buckets within the probe Hamming radius) in at least one
@@ -209,27 +293,32 @@ def lsh_topk(vec_df: DataFrame, query_df: DataFrame, k: int = 10,
     candidate-id unions are deduped, and ONE exact rerank joins the ids
     back to their vectors. Candidate volume is a few percent of the
     corpus (asserted in tests/test_similarity.py), so AQE picks a
-    broadcast join for the rerank at realistic scales."""
+    broadcast join for the rerank at realistic scales.
+
+    Pass a persisted :func:`build_lsh_index` result as ``index`` to skip
+    the per-query signature pass over the corpus (``vec_df`` then supplies
+    only the rerank vectors)."""
+    idx = index if index is not None \
+        else build_lsh_index(vec_df.select('vec_id', 'v'), n_planes,
+                             n_tables, dim=dim)
     masks = vec_df.sparkSession.createDataFrame(
         [(m,) for m in [0] + _flip_masks(n_planes, probe_hamming)],
         'mask int')
     cand = None
     for t in range(n_tables):
-        corpus_t = add_lsh_signature(vec_df.select('vec_id', 'v'),
-                                     n_planes, out='sig', dim=dim, table=t)
         q_t = add_lsh_signature(query_df.withColumnRenamed('q', 'v'),
                                 n_planes, out='qsig', dim=dim, table=t)
         probe_keys = (q_t.crossJoin(masks)
                       .select(F.col('qsig').bitwiseXOR(F.col('mask'))
                               .alias('probe'))
                       .distinct())
-        c_t = (corpus_t.select('vec_id', 'sig')
+        c_t = (idx.select('vec_id', F.col(f'sig{t}').alias('sig'))
                .join(F.broadcast(probe_keys),
                      F.col('sig') == F.col('probe'), 'left_semi')
                .select('vec_id'))
         cand = c_t if cand is None else cand.unionByName(c_t)
     cand_ids = cand.distinct()
-    scored = (vec_df.join(cand_ids, 'vec_id')
+    scored = (vec_df.select('vec_id', 'v').join(cand_ids, 'vec_id')
               .crossJoin(F.broadcast(query_df))
               .select('vec_id', _cosine('v', 'q').alias('cos_sim')))
     return scored.orderBy(F.desc('cos_sim'), F.asc('vec_id')).limit(k)

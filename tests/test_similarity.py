@@ -271,3 +271,29 @@ def test_grid_multiprobe_hamming2(spark, vectors):
     probed1 = {qlist} | {qlist ^ m for m in _flip_masks(n_bits, 1)}
     probed2 = {qlist} | {qlist ^ m for m in masks}
     assert probed1 < probed2
+
+
+def test_lsh_topk_batch_matches_per_query(spark, vectors):
+    """one batched plan over a (qid, q) table must return exactly the
+    per-query lsh_topk results for every query"""
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.similarity import (build_lsh_index, lsh_topk,
+                                                 lsh_topk_batch)
+    qids = [0, 7, 42]
+    queries = vectors.where(F.col('vec_id').isin(qids)) \
+        .select(F.col('vec_id').alias('qid'), F.col('v').alias('q'))
+    index = build_lsh_index(vectors, 16, 2, dim=64).cache()
+    batch = lsh_topk_batch(vectors, queries, k=5, n_planes=16, n_tables=2,
+                           dim=64, index=index).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.qid, []).append((r.rnk, r.vec_id,
+                                          round(r.cos_sim, 6)))
+    for qid in qids:
+        q = vectors.where(F.col('vec_id') == qid).select(
+            F.col('v').alias('q'))
+        want = [(i + 1, r.vec_id, round(r.cos_sim, 6)) for i, r in
+                enumerate(lsh_topk(vectors, q, k=5, n_planes=16,
+                                   n_tables=2, dim=64,
+                                   index=index).collect())]
+        assert sorted(got[qid]) == want, qid
