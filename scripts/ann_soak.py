@@ -147,6 +147,38 @@ def main(argv=None) -> int:
 
         walls['ann_queries'] = round(sum(ann_walls), 1)
         walls['brute_force'] = round(sum(bf_walls), 1)
+
+        # batched shape: ALL queries in one plan (lsh_topk_batch) vs a
+        # batched brute force (crossJoin + per-qid window). Single-query
+        # driver jobs pay fixed plan/codegen + full index/rerank IO per
+        # query; the batch amortizes both — this is the fan-out shape a
+        # cluster job uses.
+        from pyspark.sql.window import Window
+        from pyxml_spark.pipeline.similarity import (_cosine,
+                                                     lsh_topk_batch)
+        queries_df = (vecs.where(F.col('vec_id').isin(qids))
+                      .select(F.col('vec_id').alias('qid'),
+                              F.col('v').alias('q')))
+        t0 = time.time()
+        batch_rows = lsh_topk_batch(vecs, queries_df, k=10,
+                                    n_planes=n_planes, n_tables=n_tables,
+                                    probe_hamming=hamming, dim=DIM,
+                                    index=index).collect()
+        walls['ann_batched'] = round(time.time() - t0, 1)
+        t0 = time.time()
+        w = Window.partitionBy('qid').orderBy(F.desc('cos_sim'),
+                                              F.asc('vec_id'))
+        bf_batch = (vecs.crossJoin(F.broadcast(queries_df))
+                    .select('qid', 'vec_id',
+                            _cosine('v', 'q').alias('cos_sim'))
+                    .withColumn('rnk', F.row_number().over(w))
+                    .where(F.col('rnk') <= 10))
+        bf_batch_rows = bf_batch.collect()
+        walls['bf_batched'] = round(time.time() - t0, 1)
+        batch_twin_hits = sum(
+            1 for r in batch_rows
+            if r.qid + 1 == r.vec_id and r.rnk <= 2)
+        assert len(bf_batch_rows) == 10 * len(qids)
         out = {
             'rows': n, 'dim': DIM, 'cpus': args.cpus,
             'n_planes': n_planes, 'n_tables': n_tables,
@@ -159,6 +191,11 @@ def main(argv=None) -> int:
             'probe_frac_max': round(max(probe_fracs), 6),
             'ann_s_per_query': round(sum(ann_walls) / len(ann_walls), 2),
             'bf_s_per_query': round(sum(bf_walls) / len(bf_walls), 2),
+            'ann_batched_s_per_query': round(
+                walls['ann_batched'] / len(qids), 2),
+            'bf_batched_s_per_query': round(
+                walls['bf_batched'] / len(qids), 2),
+            'batch_twin_recall': round(batch_twin_hits / len(qids), 4),
             'walls': walls,
             'wall_total': round(sum(walls.values()), 1),
         }
@@ -176,9 +213,20 @@ tables, Hamming-{hamming} probing ({len(masks)} probes/table).
 | recall@10 vs exact | {out['recall_at_10_vs_exact']:.4f} | honesty metric — random gaussians are LSH's hard case |
 | probed fraction (mean) | {out['probe_frac_mean']:.6f} | <= a few percent; ~1e-3 expected at 2^{n_planes} buckets |
 | probed fraction (max) | {out['probe_frac_max']:.6f} | |
-| ANN s/query | {out['ann_s_per_query']} | vs brute force {out['bf_s_per_query']} s/query |
+| ANN s/query (single-query jobs) | {out['ann_s_per_query']} | fixed plan/codegen + full rerank IO per job — NOT the production shape |
+| ANN s/query (batched, {len(qids)} queries/plan) | {out['ann_batched_s_per_query']} | lsh_topk_batch: one plan, amortized index/rerank IO |
+| brute force s/query (single / batched) | {out['bf_s_per_query']} / {out['bf_batched_s_per_query']} | scores ALL n rows per query — O(n) work vs ANN's O(probed) |
+| batched planted-twin recall | {out['batch_twin_recall']:.4f} | must equal the per-query recall |
 
 Stage walls (s): {json.dumps(walls)} — total {out['wall_total']}s.
+
+Latency reading: per-query walls at this scale are dominated by fixed
+plan/codegen and by re-reading the index/vectors per driver job — the
+probed WORK is ~{out['probe_frac_mean']:.1%} of brute force's. The batch
+operator amortizes the fixed cost across queries; at 10^8+ vectors (or
+on a cluster where the index is cached/bucketed) the O(probed) vs O(n)
+work ratio dominates and the LSH path wins outright, which is why the
+probed fraction — scale-invariant — is the design metric.
 
 Scale reading: the probed-candidate count is (occupancy of {len(masks)}
 buckets) x {n_tables} tables; with ~O(1) bucket occupancy at

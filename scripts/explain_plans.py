@@ -159,6 +159,16 @@ def main() -> int:
                            and ann_plan.count('LeftSemi')
                            >= entry._ANN_TABLES))
 
+    # 10b. batched multi-query ANN: all queries in one plan — broadcast
+    # (qid, probe) joins, no corpus fan-out, per-qid ranking window
+    ab_plan = plan_of(entry.q_ann_batch_topk(spark, sf_dir))
+    sections.append(('ann_batch_topk', ab_plan))
+    checks.append(('ann_batch_topk', 'broadcast probe joins, no fan-out',
+                   'BroadcastHashJoin' in ab_plan
+                   and 'Generate' not in ab_plan))
+    checks.append(('ann_batch_topk', 'per-qid ranking window',
+                   'Window' in ab_plan))
+
     # 11. corpus-level boilerplate strip: the vocab-bounded boilerplate set
     # broadcasts into the anti-join; the token table itself never shuffles
     # for the filter step
