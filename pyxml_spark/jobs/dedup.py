@@ -157,6 +157,19 @@ def main(argv=None) -> int:
         kept = spark.read.parquet(keepers_path)
         n_docs = kept.count()
         n_dups = kept.where(F.col('doc_id') != F.col('keeper')).count()
+
+        # keepers are durably on disk now, so the component iteration's
+        # checkpoint run dirs (dupc-<uuid>, incl. any left by crashed
+        # runs) are dead weight — reliable checkpoints are never deleted
+        # by Spark itself (Hadoop FS so HDFS/object stores work too)
+        if args.checkpoint_dir:
+            sc = spark.sparkContext
+            hp = sc._jvm.org.apache.hadoop.fs.Path(args.checkpoint_dir)
+            fs = hp.getFileSystem(sc._jsc.hadoopConfiguration())
+            if fs.exists(hp):
+                for st in fs.listStatus(hp):
+                    if st.getPath().getName().startswith('dupc-'):
+                        fs.delete(st.getPath(), True)
         print(json.dumps({
             'docs': n_docs,
             'candidate_pairs': spark.read.parquet(pairs_path).count(),

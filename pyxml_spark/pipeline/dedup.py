@@ -209,14 +209,36 @@ def dup_components(tokens: DataFrame, dup_pairs: DataFrame,
     by ``localCheckpoint`` otherwise (fine single-node / sandbox; executor
     loss would fail the job rather than corrupt it, since localCheckpoint
     blocks recompute of lost partitions).
-    """
-    def _truncate(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
 
+    Checkpoint lifecycle (review r4): Spark never deletes reliable
+    checkpoints itself, so each round's files land in a per-round subdir
+    of a per-invocation ``dupc-<uuid>`` run dir, and the superseded round
+    is deleted (Hadoop FS, so HDFS/object stores work) as soon as the
+    next round's eager checkpoint is materialized — storage is bounded at
+    ~2 label-table copies + edges regardless of round count. The final
+    round's files must outlive this call (the returned DataFrame reads
+    them); the caller deletes the run dir after materializing its output
+    (jobs/dedup.py does). The session's previous checkpoint dir is
+    restored on exit.
+    """
+    sc = tokens.sparkSession.sparkContext
+    run_dir = None
+    restore_dir = None
     if checkpoint_dir is not None:
-        tokens.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        import uuid
+        jopt = sc._jsc.sc().getCheckpointDir()
+        restore_dir = jopt.get() if jopt.isDefined() else None
+        run_dir = f"{checkpoint_dir.rstrip('/')}/dupc-{uuid.uuid4().hex}"
+
+    def _delete(path: str) -> None:
+        hp = sc._jvm.org.apache.hadoop.fs.Path(path)
+        hp.getFileSystem(sc._jsc.hadoopConfiguration()).delete(hp, True)
+
+    def _truncate(df: DataFrame, tag: str) -> DataFrame:
+        if run_dir is None:
+            return df.localCheckpoint(eager=True)
+        sc.setCheckpointDir(f'{run_dir}/{tag}')
+        return df.checkpoint(eager=True)
 
     def _witness(df: DataFrame):
         return df.agg(
@@ -226,35 +248,46 @@ def dup_components(tokens: DataFrame, dup_pairs: DataFrame,
                              F.col('doc_b').alias('dst'))
     edges = edges.union(dup_pairs.select(F.col('doc_b').alias('src'),
                                          F.col('doc_a').alias('dst')))
-    edges = _truncate(edges)
+    edges = _truncate(edges, 'edges')
     labels = tokens.select('doc_id', F.col('doc_id').alias('label'))
-    labels = _truncate(labels)
+    labels = _truncate(labels, 'r0')
     prev_sum = _witness(labels)
-    for _ in range(max_iters):
-        # check AFTER each update so every one of the max_iters rounds is
-        # a validated doubling step (check-before-update would leave the
-        # last round unvalidated and spuriously raise on a graph that
-        # converges exactly at the budget)
-        msgs = (edges.join(labels.withColumnRenamed('doc_id', 'src'), 'src')
-                .select(F.col('dst').alias('doc_id'), 'label'))
-        labels = (labels.union(msgs)
-                  .groupBy('doc_id').agg(F.min('label').alias('label')))
-        shortcut = labels.select(F.col('doc_id').alias('label'),
-                                 F.col('label').alias('label2'))
-        labels = (labels.join(shortcut, 'label', 'left')
-                  .select('doc_id',
-                          F.least('label', F.coalesce('label2', 'label'))
-                          .alias('label')))
-        labels = _truncate(labels)
-        cur_sum = _witness(labels)
-        if cur_sum == prev_sum:
-            return labels.select('doc_id', F.col('label').alias('keeper'))
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f'dup_components: label propagation did not converge within '
-        f'{max_iters} rounds — with pointer doubling that covers component '
-        f'diameters far beyond any real corpus, so this indicates corrupt '
-        f'candidate pairs (or raise max_iters)')
+    try:
+        for i in range(1, max_iters + 1):
+            # check AFTER each update so every one of the max_iters rounds
+            # is a validated doubling step (check-before-update would
+            # leave the last round unvalidated and spuriously raise on a
+            # graph that converges exactly at the budget)
+            msgs = (edges.join(labels.withColumnRenamed('doc_id', 'src'),
+                               'src')
+                    .select(F.col('dst').alias('doc_id'), 'label'))
+            labels = (labels.union(msgs)
+                      .groupBy('doc_id').agg(F.min('label').alias('label')))
+            shortcut = labels.select(F.col('doc_id').alias('label'),
+                                     F.col('label').alias('label2'))
+            labels = (labels.join(shortcut, 'label', 'left')
+                      .select('doc_id',
+                              F.least('label',
+                                      F.coalesce('label2', 'label'))
+                              .alias('label')))
+            labels = _truncate(labels, f'r{i}')
+            if run_dir is not None:
+                # round i's eager checkpoint is self-contained; round i-1
+                # is superseded and can go — bounds storage at ~2 copies
+                _delete(f'{run_dir}/r{i - 1}')
+            cur_sum = _witness(labels)
+            if cur_sum == prev_sum:
+                return labels.select('doc_id',
+                                     F.col('label').alias('keeper'))
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f'dup_components: label propagation did not converge within '
+            f'{max_iters} rounds — with pointer doubling that covers '
+            f'component diameters far beyond any real corpus, so this '
+            f'indicates corrupt candidate pairs (or raise max_iters)')
+    finally:
+        if run_dir is not None and restore_dir is not None:
+            sc.setCheckpointDir(restore_dir)
 
 
 def jaccard_pairs(tokens: DataFrame, cands: DataFrame,

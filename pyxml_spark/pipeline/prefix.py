@@ -30,9 +30,11 @@ amplified by the algorithm.
 Exactness: chunking by any non-decreasing function of ``key`` preserves
 the global ``ORDER BY key`` order across chunks, so
 ``within_chunk_prefix + offset == global_prefix`` row-for-row; callers'
-oracles need no change. (Floor of a double division is monotone in the
-key, so 2^60-range keys cannot be mis-ordered by rounding — only chunk
-*balance*, not correctness, depends on the arithmetic.)
+oracles need no change. Chunk arithmetic runs in decimal(38,0): with
+full-range int64 keys, ``span`` and ``key - min`` exceed 2^63 and long
+math would wrap (non-monotone chunk ids -> silently wrong sums, or an
+ANSI overflow error); decimal holds the whole 2^64 range exactly
+(tests/test_textops.py pins a +-2^62 key spread).
 
 NULL handling (ADVICE r3): a NULL ordering key sorts first (Spark's
 ASC NULLS FIRST) and is routed to the reserved chunk -1; a NULL
@@ -74,11 +76,19 @@ def running_sum_before(df: DataFrame, part_col: str, order_col: str,
     n_chunks = (F.lit(target_chunks).cast('long') if target_chunks
                 else F.greatest(F.lit(1),
                                 F.ceil(F.sqrt(F.col('_psn')))).cast('long'))
-    span = F.col('_psmx').cast('long') - F.col('_psmn').cast('long') + 1
-    width = F.greatest(F.lit(1), F.ceil(span / n_chunks)).cast('long')
+    # decimal(38,0) arithmetic: full-range int64 keys (min ~ -2^62,
+    # max ~ 2^62 — e.g. raw xxhash64 order keys) make span and (key - min)
+    # exceed 2^63, which wraps silently in long math (non-monotone chunk
+    # ids -> silently wrong sums) or throws under ANSI; decimal(38,0)
+    # holds the full 2^64 range exactly, and the resulting chunk id is
+    # <= n_chunks so the final long cast is safe
+    dec = 'decimal(38,0)'
+    mn = F.col('_psmn').cast(dec)
+    span = F.col('_psmx').cast(dec) - mn + 1
+    width = F.greatest(F.lit(1).cast(dec),
+                       F.ceil(span / n_chunks).cast(dec))
     chunk = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
-        F.floor((F.col(order_col).cast('long')
-                 - F.col('_psmn').cast('long')) / width)).cast('long')
+        F.floor((F.col(order_col).cast(dec) - mn) / width)).cast('long')
     d = (d.withColumn('_chunk', chunk)
          .drop('_psn', '_psmn', '_psmx'))
     w_in = (Window.partitionBy(part_col, '_chunk').orderBy(order_col)

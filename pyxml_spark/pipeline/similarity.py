@@ -130,10 +130,14 @@ def lsh_topk_batch(vec_df: DataFrame, queries_df: DataFrame, k: int = 10,
     per-query :func:`lsh_topk` pays a fixed plan/codegen cost per driver
     job; batching amortizes it and turns probing into one broadcast join
     of (qid, probe) keys per table: Q queries contribute Q x (1 + masks)
-    ints per table, broadcastable for millions of queries. Candidate
-    (qid, vec_id) pairs are deduped across tables, joined once to the
-    rerank vectors, and ranked with a per-qid window (each qid's candidate
-    group is bucket-occupancy-sized, so no large window partitions)."""
+    INT PAIRS per table — broadcastable far beyond the point where the
+    query *vectors* would be. Candidate (qid, vec_id) pairs are deduped
+    across tables, joined once to the rerank vectors, and ranked with a
+    per-qid window (each qid's candidate group is bucket-occupancy-sized,
+    so no large window partitions). The rerank's join back to the query
+    vectors is deliberately NOT broadcast-hinted: the embedding column
+    rides it, so at millions of queries a forced broadcast would OOM the
+    driver — AQE picks broadcast when Q is actually small."""
     from pyspark.sql.window import Window
     idx = index if index is not None \
         else build_lsh_index(vec_df.select('vec_id', 'v'), n_planes,
@@ -158,7 +162,7 @@ def lsh_topk_batch(vec_df: DataFrame, queries_df: DataFrame, k: int = 10,
         cand = c_t if cand is None else cand.unionByName(c_t)
     cands = cand.distinct()
     scored = (cands.join(vec_df.select('vec_id', 'v'), 'vec_id')
-              .join(F.broadcast(queries_df), 'qid')
+              .join(queries_df, 'qid')
               .select('qid', 'vec_id', _cosine('v', 'q').alias('cos_sim')))
     w = Window.partitionBy('qid').orderBy(F.desc('cos_sim'),
                                           F.asc('vec_id'))

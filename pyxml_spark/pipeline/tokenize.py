@@ -40,13 +40,34 @@ _MERGES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def load_merges(path: Optional[str] = None) -> List[Tuple[str, str]]:
-    with open(path or _MERGES_PATH) as f:
-        return [tuple(m) for m in json.load(f)]
+    """read a merge table; the committed default ships inside the package
+    and is read zip-safely (``--py-files dist/pyxml_spark.zip`` executors
+    have no real file at ``__file__``-relative paths — plain ``open()``
+    raises inside every task)."""
+    if path is not None:
+        with open(path) as f:
+            return [tuple(m) for m in json.load(f)]
+    try:
+        from importlib.resources import files
+        data = (files('pyxml_spark.pipeline') / 'bpe_merges.json') \
+            .read_text()
+    except Exception:  # pragma: no cover - plain-checkout fallback
+        with open(_MERGES_PATH) as f:
+            data = f.read()
+    return [tuple(m) for m in json.loads(data)]
+
+
+@lru_cache(maxsize=1)
+def _merges() -> List[Tuple[str, str]]:
+    """the committed table, parsed once per process (bpe_apply's merge
+    loop indexes it per step — an uncached read would re-open and
+    re-parse the JSON once per merge per cache-missed word)"""
+    return load_merges()
 
 
 @lru_cache(maxsize=1)
 def _ranks() -> Dict[Tuple[str, str], int]:
-    return {pair: i for i, pair in enumerate(load_merges())}
+    return {pair: i for i, pair in enumerate(_merges())}
 
 
 @lru_cache(maxsize=1 << 16)
@@ -64,7 +85,7 @@ def bpe_apply(word: str) -> str:
                 best_rank = r
         if best_rank is None:
             return syms
-        a, b = load_merges()[best_rank]
+        a, b = _merges()[best_rank]
         syms = syms.replace(a + b, chr(0xE000 + best_rank))
 
 

@@ -21,7 +21,10 @@ def build(out_path: str = None) -> str:
             if '__pycache__' in root:
                 continue
             for name in sorted(files):
-                if not name.endswith('.py'):
+                # package data files (e.g. the committed BPE merge table)
+                # alongside the code: executors import from the zip, so a
+                # .py-only zip would crash any kernel that reads them
+                if not name.endswith(('.py', '.json')):
                     continue
                 full = os.path.join(root, name)
                 zf.write(full, os.path.relpath(full, REPO))

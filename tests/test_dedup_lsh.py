@@ -303,6 +303,12 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
     assert got == {d: 0 for d in range(n)}
     found = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
     assert found, 'checkpoint() must materialize files in checkpoint_dir'
+    # review r4: superseded rounds are deleted as the iteration advances —
+    # only edges + the final round survive inside the dupc run dir
+    (run_dir,) = [os.path.join(ckpt, d) for d in os.listdir(ckpt)]
+    assert os.path.basename(run_dir).startswith('dupc-')
+    subdirs = sorted(os.listdir(run_dir))
+    assert len(subdirs) == 2 and 'edges' in subdirs, subdirs
 
 
 def test_dedup_job_resume_manifest_invalidates_on_param_change(tmp_path):

@@ -207,6 +207,22 @@ def test_chunked_prefix_sum_sparse_60bit_keys_bounded_chunks(spark):
     assert len(sizes) >= n_chunks // 2               # offsets stay chunked
 
 
+def test_chunked_prefix_sum_full_range_int64_keys(spark):
+    """review r4: keys spanning more than 2^63 (raw-xxhash64-style order
+    keys near +-2^62) must not wrap the chunk arithmetic — long math here
+    produced non-monotone chunk ids and silently wrong sums"""
+    import random
+    from pyxml_spark.pipeline.prefix import running_sum_before
+    rng = random.Random(5)
+    lo, hi = -(1 << 62) - 7, (1 << 62) + 9
+    keys = {lo, hi, 0, -1, 1} | {rng.randint(lo, hi) for _ in range(500)}
+    rows = [(k, f's{abs(k) % 3}', abs(k) % 11) for k in sorted(keys)]
+    df = spark.createDataFrame(rows, 'doc_id long, source string, v long')
+    out = running_sum_before(df, 'source', 'doc_id', 'v', 'before')
+    got = {r.doc_id: r.before for r in out.collect()}
+    assert got == _bare_window_before(df) and len(got) == len(rows)
+
+
 def test_chunked_prefix_sum_null_keys_kept(spark):
     """ADVICE r3: NULL part_col forms its own running-sum group and a NULL
     order key sorts first — neither row is dropped (the r3 inner join
