@@ -1,0 +1,130 @@
+"""Corpus curation: the gate/score operators a training-data pipeline
+chains in front of packing.
+
+Library faces of the oracle-checked contract queries (definitions mirror
+__spark_entry__ exactly — same thresholds, same plan shapes — so the
+driver contract keeps pinning these semantics while jobs compose them):
+
+* :func:`score_documents` — quality gate (token/char-shape bounds,
+  `quality_score`), language id (stopword + trigram heuristic,
+  `lang_id`), Gopher-style top-bigram repetition (`gopher_repetition`'s
+  linear explode + two-hash-aggregate plan).
+* :func:`decontaminate` — 8-token-gram overlap against a benchmark/eval
+  corpus (`benchmark_overlap`'s shape: grams travel as 60-bit md5
+  hashes, the benchmark side is distinct-small and broadcasts).
+
+jobs/curate.py chains these with MinHash dedup (pipeline/dedup.py) and
+sequence packing (pipeline/prefix.py) into one spark-submit run.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ['QUALITY_MIN_TOKENS', 'QUALITY_MAX_TOKENS', 'REP_MAX_X10K',
+           'score_documents', 'repetition_x10k', 'decontaminate']
+
+QUALITY_MIN_TOKENS = 5
+QUALITY_MAX_TOKENS = 500
+#: default gate: drop docs whose top bigram takes > 20% of all bigrams
+REP_MAX_X10K = 2000
+
+#: shared with __spark_entry__.q_lang_id (same stopwords / trigrams)
+_EN_STOPWORDS = ('the', 'and', 'of', 'to', 'in')
+_EN_TRIGRAMS = ('the', 'ing', 'ent', 'ion', 'and')
+
+
+def repetition_x10k(df: DataFrame, id_col: str = 'doc_id',
+                    text_col: str = 'text') -> DataFrame:
+    """(id, rep_x10k): top-bigram fraction x10000, the linear plan of
+    q_gopher_repetition — staged token array (HOF CSE rule), explode_outer
+    (zero-bigram docs keep a row), two map-side-combined aggregates."""
+    ws = df.select(F.col(id_col).alias('doc_id'),
+                   F.split(F.trim(text_col), r'\s+').alias('ws'))
+    n = F.size('ws')
+    bg = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at('ws', i), F.lit(' '),
+                           F.element_at('ws', i + 1)))) \
+        .otherwise(F.array().cast('array<string>'))
+    staged = ws.select('doc_id', bg.alias('bg'))
+    exploded = staged.select('doc_id',
+                             F.explode_outer('bg').alias('bigram'))
+    per_doc = (exploded.groupBy('doc_id', 'bigram')
+               .agg(F.count('*').alias('cnt')))
+    cnt = F.when(F.col('bigram').isNull(), F.lit(0)) \
+        .otherwise(F.col('cnt'))
+    agg = per_doc.groupBy('doc_id').agg(
+        F.sum(F.when(F.col('bigram').isNull(), F.lit(0))
+              .otherwise(F.col('cnt'))).alias('n_bigrams'),
+        F.max(cnt).alias('top_count'))
+    rep = F.when(F.col('n_bigrams') <= 0, F.lit(0)).otherwise(
+        F.floor(F.col('top_count') * 10000 / F.col('n_bigrams')))
+    return agg.select('doc_id', rep.cast('long').alias('rep_x10k'))
+
+
+def score_documents(df: DataFrame, id_col: str = 'doc_id',
+                    text_col: str = 'text') -> DataFrame:
+    """input columns + (n_tokens, chars_ns, is_quality, lang, rep_x10k).
+
+    One projection pass for the shape/lang columns plus the repetition
+    aggregate joined back on the id — no python, no windows."""
+    trimmed = F.trim(F.col(text_col))
+    n_tokens = F.when(trimmed == '', F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r'\s+'))).cast('long')
+    chars_ns = F.length(
+        F.regexp_replace(text_col, r'\s+', '')).cast('long')
+    padded = F.concat(F.lit(' '), F.col(text_col), F.lit(' '))
+    en_hits = sum((F.instr(padded, f' {w} ') > 0).cast('long')
+                  for w in _EN_STOPWORDS)
+    tri = sum(((F.length(text_col)
+                - F.length(F.replace(F.col(text_col), F.lit(g)))) / 3)
+              .cast('long') for g in _EN_TRIGRAMS)
+    scored = df.withColumns({
+        'n_tokens': n_tokens,
+        'chars_ns': chars_ns,
+        'is_quality': ((n_tokens >= QUALITY_MIN_TOKENS)
+                       & (n_tokens <= QUALITY_MAX_TOKENS)
+                       & (chars_ns >= 3 * n_tokens)
+                       & (chars_ns <= 12 * n_tokens)),
+        'lang': F.when((en_hits >= 2) | (tri >= 3),
+                       F.lit('en')).otherwise(F.lit('unk')),
+    })
+    rep = repetition_x10k(df, id_col, text_col) \
+        .withColumnRenamed('doc_id', id_col)
+    return scored.join(rep, id_col, 'left') \
+        .fillna({'rep_x10k': 0})
+
+
+def decontaminate(df: DataFrame, bench_df: DataFrame,
+                  id_col: str = 'doc_id', text_col: str = 'text',
+                  bench_text_col: str = 'text', k: int = 8) -> DataFrame:
+    """(id, n_gram_hits, contaminated): docs sharing any exact k-token
+    gram with the benchmark corpus. Grams are 60-bit md5 hashes; the
+    benchmark gram set is distinct-small and broadcasts into the corpus
+    gram join (q_benchmark_overlap's shape — never corpus x corpus)."""
+    def gram_rows(d: DataFrame, textc: str, gid_col=None) -> DataFrame:
+        head = [F.col(gid_col).alias('_gid')] if gid_col else []
+        keep = [F.col('_gid')] if gid_col else []
+        ws = d.where(F.trim(textc) != '').select(
+            *head, F.split(F.trim(textc), r'\s+').alias('ws'))
+        n = F.size('ws')
+        gs = F.when(n >= k, F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.conv(F.substring(
+                F.md5(F.concat_ws(' ', F.slice('ws', i, k))
+                      .cast('binary')), 1, 15), 16, 10).cast('long'))) \
+            .otherwise(F.array().cast('array<long>'))
+        return (ws.select(*keep, gs.alias('gs'))
+                .select(*keep, F.explode('gs').alias('g'))
+                .distinct())
+    bench = gram_rows(bench_df, bench_text_col).select('g').distinct()
+    corpus = gram_rows(df, text_col, gid_col=id_col)
+    hits = (corpus.join(F.broadcast(bench), 'g')
+            .groupBy('_gid').agg(F.count('*').alias('n_gram_hits')))
+    out = df.select(F.col(id_col)).join(
+        hits.withColumnRenamed('_gid', id_col), id_col, 'left')
+    return out.select(
+        id_col,
+        F.coalesce('n_gram_hits', F.lit(0)).cast('long')
+        .alias('n_gram_hits'),
+        (F.coalesce('n_gram_hits', F.lit(0)) > 0).alias('contaminated'))

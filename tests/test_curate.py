@@ -1,0 +1,96 @@
+"""Curation operators (pipeline/curate.py) + the end-to-end job."""
+import json
+
+import pytest
+
+pyspark = pytest.importorskip('pyspark')
+
+
+@pytest.fixture(scope='module')
+def spark():
+    from pyspark.sql import SparkSession
+    s = (SparkSession.builder.master('local[4]')
+         .appName('pyxml-spark-curate-tests')
+         .config('spark.sql.shuffle.partitions', '4')
+         .config('spark.ui.enabled', 'false')
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+def test_score_documents_semantics(spark):
+    """flags match an independent python model on hand-built docs"""
+    from pyxml_spark.pipeline.curate import score_documents
+    docs = [
+        (0, 'a', 'the cat and the dog sat on the mat of the house'),
+        (1, 'a', 'xy zz'),                               # too few tokens
+        (2, 'a', 'foo bar ' * 20),                       # repetitive, unk
+        (3, 'a', ''),                                    # empty
+        (4, 'a', 'the quick brown fox jumps over the lazy dog in town'),
+    ]
+    df = spark.createDataFrame(docs, 'doc_id long, source string, '
+                                     'text string')
+    got = {r.doc_id: r for r in score_documents(df).collect()}
+    assert len(got) == 5
+    assert got[0].lang == 'en' and got[4].lang == 'en'
+    assert got[1].lang == 'unk' and not got[1].is_quality
+    assert got[3].n_tokens == 0 and got[3].rep_x10k == 0
+    # doc 2: 'foo bar' dominates the bigrams
+    assert got[2].rep_x10k > 5000
+    for r in got.values():
+        toks = r.text.split()
+        assert r.n_tokens == len(toks)
+        assert r.chars_ns == sum(len(t) for t in toks)
+
+
+def test_decontaminate_planted_overlap(spark):
+    from pyxml_spark.pipeline.curate import decontaminate
+    shared = 'alpha beta gamma delta epsilon zeta eta theta'  # 8 tokens
+    docs = [(0, f'{shared} plus unique tail words here'),
+            (1, 'totally different content with no overlap at all ok'),
+            (2, f'prefix words then {shared}')]
+    bench = [(100, f'benchmark doc containing {shared} exactly once')]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    bdf = spark.createDataFrame(bench, 'doc_id long, text string')
+    got = {r.doc_id: r for r in decontaminate(df, bdf).collect()}
+    assert got[0].contaminated and got[2].contaminated
+    assert not got[1].contaminated
+    assert got[1].n_gram_hits == 0
+
+
+def test_curate_job_end_to_end(tmp_path):
+    """job smoke at sf0.001: metrics add up, output passes every gate,
+    resume skips all stages, benchmark decontamination removes docs"""
+    from pyxml_spark.jobs.curate import main
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / 'curated')
+
+    def run(extra):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(['--input',
+                         '/root/testdata/sf0.001/documents.parquet',
+                         '--output', out, '--cpus', '4'] + extra) == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    m = run([])
+    assert m['n_input'] == 500
+    assert (m['n_pass_gates'] + m['n_fail_quality'] + m['n_fail_lang']
+            + m['n_fail_repetition'] >= m['n_input'])  # gates may overlap
+    assert m['n_curated'] == (m['n_pass_gates'] - m['n_dup_removed']
+                              - m['n_contaminated_removed'])
+    assert m['n_curated'] > 0 and m['n_packs'] > 0
+    assert m['stages_run'] == ['gated', 'keepers', 'curated']
+
+    m2 = run(['--resume'])
+    assert m2['stages_run'] == []
+    assert m2['n_curated'] == m['n_curated']
+
+    # decontaminating against the corpus itself removes everything with
+    # >= 8 tokens; the param change must re-run only the curated stage
+    m3 = run(['--resume', '--benchmark',
+              '/root/testdata/sf0.001/documents.parquet'])
+    assert m3['stages_run'] == ['curated']
+    assert m3['n_curated'] < m['n_curated']
