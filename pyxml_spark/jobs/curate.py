@@ -141,10 +141,18 @@ def main(argv=None) -> int:
         survivors = scored.where('passes') \
             .select('doc_id', 'source', 'text', 'n_tokens')
 
-        # stage 2: near-dup keepers over the survivors
+        # stage 2: near-dup keepers over the survivors. token_sets and
+        # bands are staged to parquet (jobs/dedup.py's lesson): the toks
+        # pass (one md5 per token over all survivor text) is consumed by
+        # banding, BOTH sides of the jaccard verify, and the component
+        # label init — unstaged it would re-tokenize the corpus per
+        # consumer
         keepers_path = os.path.join(out_dir, 'keepers.parquet')
         if not committed(keepers_path, 'keepers'):
-            toks = token_sets(survivors)
+            toks_path = os.path.join(out_dir, 'toks.parquet')
+            token_sets(survivors).write.mode('overwrite') \
+                .parquet(toks_path)
+            toks = spark.read.parquet(toks_path)
             bands_path = os.path.join(out_dir, 'bands.parquet')
             minhash_bands(toks).write.mode('overwrite') \
                 .parquet(bands_path)
@@ -157,6 +165,12 @@ def main(argv=None) -> int:
                 .write.mode('overwrite').parquet(keepers_path)
             mark(keepers_path, 'keepers')
             stages_run.append('keepers')
+            if args.checkpoint_dir:
+                # keepers are durable — reclaim the component iteration's
+                # reliable-checkpoint run dirs (Spark never does)
+                from pyxml_spark.pipeline.dedup import \
+                    cleanup_checkpoint_runs
+                cleanup_checkpoint_runs(spark, args.checkpoint_dir)
         keepers = spark.read.parquet(keepers_path)
         deduped = (survivors.join(keepers, 'doc_id')
                    .where(F.col('doc_id') == F.col('keeper'))

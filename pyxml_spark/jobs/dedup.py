@@ -159,17 +159,11 @@ def main(argv=None) -> int:
         n_dups = kept.where(F.col('doc_id') != F.col('keeper')).count()
 
         # keepers are durably on disk now, so the component iteration's
-        # checkpoint run dirs (dupc-<uuid>, incl. any left by crashed
-        # runs) are dead weight — reliable checkpoints are never deleted
-        # by Spark itself (Hadoop FS so HDFS/object stores work too)
+        # checkpoint run dirs (incl. any left by crashed runs) are dead
+        # weight — Spark never reclaims reliable checkpoints itself
         if args.checkpoint_dir:
-            sc = spark.sparkContext
-            hp = sc._jvm.org.apache.hadoop.fs.Path(args.checkpoint_dir)
-            fs = hp.getFileSystem(sc._jsc.hadoopConfiguration())
-            if fs.exists(hp):
-                for st in fs.listStatus(hp):
-                    if st.getPath().getName().startswith('dupc-'):
-                        fs.delete(st.getPath(), True)
+            from pyxml_spark.pipeline.dedup import cleanup_checkpoint_runs
+            cleanup_checkpoint_runs(spark, args.checkpoint_dir)
         print(json.dumps({
             'docs': n_docs,
             'candidate_pairs': spark.read.parquet(pairs_path).count(),

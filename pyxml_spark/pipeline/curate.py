@@ -117,7 +117,8 @@ def decontaminate(df: DataFrame, bench_df: DataFrame,
         return (ws.select(*keep, gs.alias('gs'))
                 .select(*keep, F.explode('gs').alias('g'))
                 .distinct())
-    bench = gram_rows(bench_df, bench_text_col).select('g').distinct()
+    # gram_rows' gid-less branch is already a distinct single 'g' column
+    bench = gram_rows(bench_df, bench_text_col)
     corpus = gram_rows(df, text_col, gid_col=id_col)
     hits = (corpus.join(F.broadcast(bench), 'g')
             .groupBy('_gid').agg(F.count('*').alias('n_gram_hits')))

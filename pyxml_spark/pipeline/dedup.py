@@ -36,7 +36,23 @@ from pyspark.sql.window import Window
 __all__ = ['N_PERMS', 'N_BANDS', 'N_ROWS', 'PAIR_WINDOW', 'MH_PRIME',
            'N_SUBBUCKETS', 'HOT_BUCKET_THRESHOLD', 'perm_coeffs',
            'salt_expr', 'token_sets', 'minhash_bands', 'candidate_pairs',
-           'jaccard_pairs', 'dup_components']
+           'jaccard_pairs', 'dup_components', 'cleanup_checkpoint_runs']
+
+
+def cleanup_checkpoint_runs(spark, checkpoint_dir: str) -> None:
+    """delete all ``dupc-<uuid>`` run dirs under ``checkpoint_dir`` —
+    reliable checkpoints are never reclaimed by Spark itself, so every
+    job that passes ``checkpoint_dir`` to :func:`dup_components` MUST
+    call this once its own output is durably written (the final round's
+    files are read by the returned DataFrame until then). Also sweeps
+    dirs left by crashed runs. Hadoop FS, so HDFS/object stores work."""
+    sc = spark.sparkContext
+    hp = sc._jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = hp.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(hp):
+        for st in fs.listStatus(hp):
+            if st.getPath().getName().startswith('dupc-'):
+                fs.delete(st.getPath(), True)
 
 #: universal-hash modulus (Mersenne prime 2^31 - 1): keeps a_i*h + b_i
 #: inside exact int64 range in both Spark and DuckDB

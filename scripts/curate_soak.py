@@ -105,6 +105,16 @@ def main(argv=None) -> int:
         m = json.loads(buf.getvalue().strip().splitlines()[-1])
         wall = round(time.time() - t0, 1)
 
+        # planted-structure recall (soft bounds — gates may also catch
+        # organic docs, so these are floors, like dedup_soak's recall):
+        planted_tiny = (n - hot) // 100          # doc_id % 100 == 13
+        planted_rep = (n - hot) // 50            # doc_id % 50 == 7
+        assert m['n_fail_quality'] >= int(0.95 * planted_tiny), m
+        assert m['n_fail_repetition'] >= int(0.95 * planted_rep), m
+        # the 5% identical hot cluster must collapse to ~1 keeper
+        assert m['n_dup_removed'] >= int(0.95 * (hot - 1)), m
+        assert m['n_contaminated_removed'] == 0, m
+
         out = {'rows': n, 'cpus': args.cpus, 'synth_wall_s': synth_wall,
                'curate_wall_s': wall,
                'docs_per_sec': round(n / wall, 1), **m}

@@ -39,10 +39,13 @@ if REPO not in sys.path:
 
 def synth(spark, n: int):
     from pyspark.sql import functions as F
+    assert n <= 1 << 24, 'row id must fit the low 24 bits for uniqueness'
     ids = spark.range(0, n)
-    # unique sparse 60-bit keys: 40 random high bits, row id low 20 bits
-    key = ((F.abs(F.xxhash64('id', F.lit('k'))) % (1 << 40)) * (1 << 20)
-           + F.col('id') % (1 << 20))
+    # unique sparse 60-bit keys: 36 random high bits, row id low 24 bits
+    # (uniqueness holds for any n <= 2^24, asserted above — folding into
+    # fewer low bits would collide ids n and n +- 2^bits)
+    key = ((F.abs(F.xxhash64('id', F.lit('k'))) % (1 << 36)) * (1 << 24)
+           + F.col('id'))
     src = F.when(F.col('id') % 10 != 0, F.lit('hot')) \
         .otherwise(F.concat(F.lit('s'), (F.col('id') % 7).cast('string')))
     return ids.select(key.alias('doc_id'), src.alias('source'),
@@ -83,13 +86,18 @@ def main(argv=None) -> int:
             return running_sum_before(df, 'source', 'doc_id', 'v',
                                       'before')
 
-        # equality, row-for-row (null-safe join on the unique key pair)
+        # equality, row-for-row: a FULL OUTER join so dropped/duplicated
+        # rows surface as null-sided mismatches (an inner join would hide
+        # a row-losing regression behind mismatches == 0), plus a row
+        # count pin on the chunked output
+        assert chunked().count() == n, 'chunked scan lost/duplicated rows'
         mismatches = (chunked().select('source', 'doc_id',
                                        F.col('before').alias('bc'))
                       .join(bare().select('source', 'doc_id',
                                           F.col('before').alias('bb')),
-                            ['source', 'doc_id'])
-                      .where(F.col('bc') != F.col('bb')).count())
+                            ['source', 'doc_id'], 'full_outer')
+                      .where(F.col('bc').isNull() | F.col('bb').isNull()
+                             | (F.col('bc') != F.col('bb'))).count())
 
         # straggler bound: rows the biggest single window task must sort
         bare_max = (df.groupBy('source').count()

@@ -79,8 +79,12 @@ def test_curate_job_end_to_end(tmp_path):
     assert m['n_input'] == 500
     assert (m['n_pass_gates'] + m['n_fail_quality'] + m['n_fail_lang']
             + m['n_fail_repetition'] >= m['n_input'])  # gates may overlap
-    assert m['n_curated'] == (m['n_pass_gates'] - m['n_dup_removed']
-                              - m['n_contaminated_removed'])
+    # with no --benchmark, dedup-to-pack must be row-preserving: the
+    # contamination remainder is exactly zero (asserting the identity
+    # n_curated == pass - dup - contaminated would be a tautology —
+    # the job defines n_contaminated_removed as that remainder)
+    assert m['n_contaminated_removed'] == 0
+    assert m['n_curated'] == m['n_pass_gates'] - m['n_dup_removed']
     assert m['n_curated'] > 0 and m['n_packs'] > 0
     assert m['stages_run'] == ['gated', 'keepers', 'curated']
 
