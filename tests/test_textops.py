@@ -207,6 +207,43 @@ def test_chunked_prefix_sum_sparse_60bit_keys_bounded_chunks(spark):
     assert len(sizes) >= n_chunks // 2               # offsets stay chunked
 
 
+def test_chunked_prefix_sum_randomized_distributions(spark):
+    """seeded sweep over key distributions (dense, sparse, clustered,
+    negative, tiny-n, single-part, constant-v) — the chunked scan must
+    equal the bare window on every one"""
+    import random
+    from pyxml_spark.pipeline.prefix import running_sum_before
+
+    def keyset(rng, kind, m):
+        if kind == 'dense':
+            return rng.sample(range(m * 2), m)
+        if kind == 'sparse':
+            return rng.sample(range(-(1 << 50), 1 << 50), m)
+        if kind == 'clustered':        # 90% in a narrow band + outliers
+            band = rng.sample(range(1000, 1000 + m * 2), m * 9 // 10)
+            far = rng.sample(range(1 << 40, (1 << 40) + (1 << 20)),
+                             m - len(band))
+            return band + far
+        return rng.sample(range(-5, 6), min(m, 11))  # tiny
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        for kind in ('dense', 'sparse', 'clustered', 'tiny'):
+            m = 11 if kind == 'tiny' else 300
+            keys = keyset(rng, kind, m)
+            nparts = 1 if seed == 0 else 4
+            rows = [(k, f'p{i % nparts}',
+                     0 if seed == 1 else rng.randint(-9, 9))
+                    for i, k in enumerate(keys)]
+            df = spark.createDataFrame(
+                rows, 'doc_id long, source string, v long')
+            got = {r.doc_id: r.before for r in
+                   running_sum_before(df, 'source', 'doc_id', 'v',
+                                      'before').collect()}
+            assert got == _bare_window_before(df), (seed, kind)
+            assert len(got) == len(rows), (seed, kind)
+
+
 def test_chunked_prefix_sum_full_range_int64_keys(spark):
     """review r4: keys spanning more than 2^63 (raw-xxhash64-style order
     keys near +-2^62) must not wrap the chunk arithmetic — long math here
