@@ -223,6 +223,24 @@ def main() -> int:
     checks.append(('sequence_pack', 'window chunked by (source, _chunk)',
                    '_chunk' in sp_plan))
 
+    # 18. BPE subword count: Arrow-batched kernel over a pruned
+    # (doc_id, words) projection — the scan reads only doc_id + text
+    sw_plan = plan_of(entry.q_subword_count(spark, sf_dir))
+    sections.append(('subword_count', sw_plan))
+    checks.append(('subword_count', 'arrow tokenize kernel',
+                   'MapInArrow' in sw_plan or 'ArrowEvalPython' in sw_plan))
+    checks.append(('subword_count', 'scan pruned to doc_id,text',
+                   'ReadSchema: struct<doc_id:bigint,text:string>'
+                   in sw_plan))
+
+    # 19. media frame sampling: explode-shaped Arrow kernel, no shuffle
+    # (per-row kernel over the scan; repartition is opt-in)
+    mf_plan = plan_of(entry.q_media_frames(spark, sf_dir))
+    sections.append(('media_frames', mf_plan))
+    checks.append(('media_frames', 'arrow frame kernel, no exchange',
+                   'MapInArrow' in mf_plan
+                   and 'Exchange' not in mf_plan))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:
