@@ -116,8 +116,10 @@ def minhash_bands(tokens: DataFrame) -> DataFrame:
     plan overhead); the single-pass form measured 4.6x faster end-to-end
     and scales as one traversal per row.
     """
-    arr_a = F.array(*[F.lit(perm_coeffs(i)[0]) for i in range(N_PERMS)])
-    arr_b = F.array(*[F.lit(perm_coeffs(i)[1]) for i in range(N_PERMS)])
+    # one py4j literal per coefficient array (element-wise F.lit trees
+    # cost a driver round-trip per element — the similarity.py lesson)
+    arr_a = F.lit([perm_coeffs(i)[0] for i in range(N_PERMS)])
+    arr_b = F.lit([perm_coeffs(i)[1] for i in range(N_PERMS)])
     init = F.array_repeat(F.lit(MH_PRIME).cast('long'), N_PERMS)
     mins = F.aggregate(
         F.col('hs'), init,
