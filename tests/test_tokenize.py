@@ -113,3 +113,13 @@ def test_subword_count_spark_kernel():
             assert r.n_subwords == want, r.doc_id
     finally:
         spark.stop()
+
+
+def test_training_reproduces_committed_vocab(tmp_path):
+    """scripts/train_bpe.py must regenerate bpe_merges.json byte-for-byte
+    from the deterministic corpus — guards against silent vocab drift"""
+    from scripts.train_bpe import main
+    out = str(tmp_path / 'merges.json')
+    assert main(['--output', out]) == 0
+    with open(out, 'rb') as f1, open(MERGES_PATH, 'rb') as f2:
+        assert f1.read() == f2.read()
