@@ -980,6 +980,27 @@ def q_ordered_turns(spark, sf_dir) -> DataFrame:
     return d.select('doc_id', 'source', 'turn_seq')
 
 
+def q_turn_context(spark, sf_dir) -> DataFrame:
+    """SFT context construction over transcripts: each turn concatenated
+    with its previous 2 turns of the same conversation (bounded ROWS
+    frame, deterministic frame order). The window partitions by
+    conversation — the one window form that is safe at 10^12 turns
+    because conversations are bounded (SURVEY §2-F stable-ordering rule);
+    an unbounded running frame would go through pipeline/prefix.py
+    instead. Documents stand in as 50 conversations x 10 turns."""
+    from pyspark.sql.window import Window
+    docs = _table(spark, sf_dir, 'documents')
+    t = docs.select(
+        (F.col('doc_id') % 50).cast('string').alias('conv_id'),
+        F.floor(F.col('doc_id') / 50).cast('long').alias('turn_idx'),
+        'text')
+    w = (Window.partitionBy('conv_id').orderBy('turn_idx')
+         .rowsBetween(-2, Window.currentRow))
+    ctx = F.concat_ws('\n', F.collect_list('text').over(w))
+    return t.select('conv_id', 'turn_idx', ctx.alias('context'),
+                    F.length(ctx).cast('long').alias('n_context_chars'))
+
+
 def q_benchmark_overlap(spark, sf_dir) -> DataFrame:
     """decontamination: flag documents sharing any exact 8-token n-gram
     with a benchmark/eval set (GPT-3/Gopher-style n-gram decontamination;
@@ -1381,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'media_resize': q_media_resize,
         'media_frames': q_media_frames,
         'subword_count': q_subword_count,
+        'turn_context': q_turn_context,
     }
 
 
@@ -2101,6 +2123,21 @@ def oracle_sql() -> dict[str, str]:
                    END AS decode_error
             FROM f""",
         'subword_count': _bpe_sql(),
+        'turn_context': """
+            WITH t AS (SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                              CAST(doc_id // 50 AS BIGINT) AS turn_idx,
+                              text
+                       FROM documents)
+            SELECT a.conv_id, a.turn_idx,
+                   string_agg(b.text, chr(10) ORDER BY b.turn_idx)
+                       AS context,
+                   CAST(length(string_agg(b.text, chr(10)
+                        ORDER BY b.turn_idx)) AS BIGINT)
+                       AS n_context_chars
+            FROM t a JOIN t b
+              ON b.conv_id = a.conv_id
+             AND b.turn_idx BETWEEN a.turn_idx - 2 AND a.turn_idx
+            GROUP BY a.conv_id, a.turn_idx""",
         'streaming_dedup': """
             SELECT md5(text) AS fp,
                    CAST(length(text) AS BIGINT) AS n_chars
