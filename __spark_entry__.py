@@ -2128,16 +2128,15 @@ def oracle_sql() -> dict[str, str]:
                               CAST(doc_id // 50 AS BIGINT) AS turn_idx,
                               text
                        FROM documents)
-            SELECT a.conv_id, a.turn_idx,
-                   string_agg(b.text, chr(10) ORDER BY b.turn_idx)
+            SELECT conv_id, turn_idx,
+                   coalesce(string_agg(text, chr(10)) OVER w, '')
                        AS context,
-                   CAST(length(string_agg(b.text, chr(10)
-                        ORDER BY b.turn_idx)) AS BIGINT)
+                   CAST(length(coalesce(string_agg(text, chr(10)) OVER w,
+                                        '')) AS BIGINT)
                        AS n_context_chars
-            FROM t a JOIN t b
-              ON b.conv_id = a.conv_id
-             AND b.turn_idx BETWEEN a.turn_idx - 2 AND a.turn_idx
-            GROUP BY a.conv_id, a.turn_idx""",
+            FROM t
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
         'streaming_dedup': """
             SELECT md5(text) AS fp,
                    CAST(length(text) AS BIGINT) AS n_chars
