@@ -492,6 +492,76 @@ def q_dataset_split(spark, sf_dir) -> DataFrame:
                        split.alias('split'))
 
 
+# per-source mixture weights: w = 0.25 + 0.75 * (source_index % 4), i.e.
+# 0.25 / 1.0 / 1.75 / 2.5 epochs — exercises sub-sampling, identity, and
+# fractional up-sampling in one table. Split into an integer part and a
+# 16-bit fractional threshold so both engines decide copies with exact
+# integer math (no float rate anywhere).
+_MIX_WHOLE = [0, 1, 1, 2]
+_MIX_FRAC16 = [16384, 0, 49152, 32768]  # round(frac(w) * 65536)
+
+
+def q_mixture_sample(spark, sf_dir) -> DataFrame:
+    """deterministic weighted dataset mixing (training-corpus epoch
+    weights, Pile/Llama-style): each document is emitted
+    ``floor(w) + [hash16 < frac(w)*2^16]`` times for its source's weight
+    w, so a 2.5-epoch source duplicates every doc twice and half the docs
+    a third time — decided by the same content-independent md5(doc_id)
+    hash as q_dataset_split (re-runs and re-shards never change the
+    mixture). Copies materialize via posexplode of a staged array_repeat
+    (CLAUDE.md rule: never put the producing expression inside the
+    Generate; F.sequence is unsafe for empty ranges — sequence(0,-1) is
+    [0,-1], not []). At scale this is a narrow map + generate stage: no
+    shuffle, no driver action, output partitions inherit the scan."""
+    docs = _table(spark, sf_dir, 'documents')
+    m = (F.regexp_extract('source', r'src(\d+)', 1).cast('int') % 4)
+    whole = F.element_at(F.lit(_MIX_WHOLE), m + 1)
+    frac16 = F.element_at(F.lit(_MIX_FRAC16), m + 1)
+    h4 = F.conv(F.substring(
+        F.md5(F.col('doc_id').cast('string').cast('binary')), 1, 4),
+        16, 10).cast('long')
+    n_copies = (whole + F.when(h4 < frac16, 1).otherwise(0)).cast('int')
+    staged = (docs.select('doc_id', 'source')
+              .withColumn('_copies', F.array_repeat(F.lit(1), n_copies)))
+    return (staged.select('doc_id', 'source',
+                          F.posexplode('_copies').alias('copy_idx', '_one'))
+            .select('doc_id', 'source',
+                    F.col('copy_idx').cast('long').alias('copy_idx')))
+
+
+_TFIDF_TOPK = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir) -> DataFrame:
+    """per-document top-3 salient terms by a df-penalized term score
+    (integer-exact tf-idf stand-in: ``score = tf*10000 div df`` — integral
+    division on both engines, so no float enters the ranking; true
+    log-idf ranks identically for fixed N but ties float hashes). Two
+    hash aggregates (term frequency per doc, document frequency per term)
+    + one doc-bounded ranking window; df is vocab-sized so the join
+    broadcasts under AQE. The window partitions by doc_id — bounded per
+    doc, never a whole-corpus sort."""
+    docs = _table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    toks = (docs.select('doc_id',
+                        F.explode(F.split(F.trim('text'), r'\s+'))
+                        .alias('term'))
+            .where(F.col('term') != ''))
+    tf = toks.groupBy('doc_id', 'term').agg(F.count('*').alias('tf'))
+    dfreq = tf.groupBy('term').agg(
+        F.countDistinct('doc_id').alias('df'))
+    from pyspark.sql.window import Window
+    scored = (tf.join(dfreq, 'term')
+              .withColumn('score_x10k',
+                          F.expr('tf * 10000 div df').cast('long')))
+    w = Window.partitionBy('doc_id').orderBy(
+        F.col('score_x10k').desc(), F.col('term').asc())
+    return (scored.withColumn('rnk', F.row_number().over(w))
+            .where(F.col('rnk') <= _TFIDF_TOPK)
+            .select('doc_id', 'term', F.col('tf').cast('long').alias('tf'),
+                    F.col('df').cast('long').alias('df'), 'score_x10k',
+                    F.col('rnk').cast('long').alias('rnk')))
+
+
 def q_conversation_assemble(spark, sf_dir) -> DataFrame:
     """SFT-sample assembly, bounded: documents are packed into
     (source, pack_id) groups by the same running-token-count window as
@@ -897,6 +967,26 @@ def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
     vec = as_double_vec(emb).select('vec_id', 'v')
     q = vec.where(F.col('vec_id') == 0).select(F.col('v').alias('q'))
     out = grid_ivf_topk(vec, q, k=10, n_bits=_ANN_IVF_BITS)
+    return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
+
+
+def q_ann_kmeans_topk(spark, sf_dir) -> DataFrame:
+    """the model-based IVF variant (Spark ML KMeans coarse quantizer,
+    pipeline/similarity.build_ivf/ivf_topk), made driver-visible as a
+    rows-only row: KMeans is iterative and driver-coordinated, so it has
+    no SQL twin (documented since r2) — the oracle-checked production
+    path is q_ann_ivf_topk's grid quantizer. Fixed seed + fixed input
+    layout keep the centers, and therefore the probe set and top-k,
+    deterministic across runs. The per-query center ranking reads
+    model.clusterCenters() driver-side — k-bounded, the same place the
+    KMeans fit already lives."""
+    from pyxml_spark.pipeline.similarity import (as_double_vec, build_ivf,
+                                                 ivf_topk)
+    emb = _table(spark, sf_dir, 'embeddings')
+    vec = as_double_vec(emb).select('vec_id', 'v')
+    q = vec.where(F.col('vec_id') == 0).select(F.col('v').alias('q'))
+    assigned, model = build_ivf(vec, n_lists=16)
+    out = ivf_topk(assigned, model, q, k=10, n_probe=4)
     return out.select('vec_id', F.round('cos_sim', 4).alias('cos_sim'))
 
 
@@ -1373,6 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'gopher_repetition': q_gopher_repetition,
         'gopher_ngram_fractions': q_gopher_ngram_fractions,
         'dataset_split': q_dataset_split,
+        'mixture_sample': q_mixture_sample,
+        'tfidf_top_terms': q_tfidf_top_terms,
         'conversation_assemble': q_conversation_assemble,
         'sequence_pack': q_sequence_pack,
         'fingerprint_shingle': q_fingerprint_shingle,
@@ -1387,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_lsh_topk': q_ann_lsh_topk,
         'ann_batch_topk': q_ann_batch_topk,
         'ann_ivf_topk': q_ann_ivf_topk,
+        'ann_kmeans_topk': q_ann_kmeans_topk,
         'join_rollup': q_join_rollup,
         'region_revenue': q_region_revenue,
         'part_brand_stats': q_part_brand_stats,
@@ -1950,6 +2043,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN pos <= 14 THEN 'val'
                         ELSE 'test' END AS split
             FROM t""",
+        'mixture_sample': """
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 4) AS BIGINT) AS h4,
+                       CAST(substr(source, 4) AS INTEGER) % 4 AS m
+                FROM documents),
+                 n AS (
+                SELECT doc_id, source,
+                       ([0, 1, 1, 2][m + 1]
+                        + CASE WHEN h4 < [16384, 0, 49152, 32768][m + 1]
+                               THEN 1 ELSE 0 END) AS n_copies
+                FROM t)
+            SELECT doc_id, source,
+                   CAST(unnest(range(n_copies)) AS BIGINT) AS copy_idx
+            FROM n""",
+        'tfidf_top_terms': """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+                                                            '\\s+')) AS term
+                FROM documents),
+                 tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term),
+                 dfreq AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM tf GROUP BY term),
+                 scored AS (
+                SELECT tf.doc_id, tf.term,
+                       CAST(tf.tf AS BIGINT) AS tf,
+                       CAST(dfreq.df AS BIGINT) AS df,
+                       CAST((tf.tf * 10000) // dfreq.df AS BIGINT)
+                           AS score_x10k
+                FROM tf JOIN dfreq USING (term)),
+                 ranked AS (
+                SELECT *, CAST(row_number() OVER (
+                              PARTITION BY doc_id
+                              ORDER BY score_x10k DESC, term ASC) AS BIGINT)
+                           AS rnk
+                FROM scored)
+            SELECT doc_id, term, tf, df, score_x10k, rnk
+            FROM ranked WHERE rnk <= 3""",
         'conversation_assemble': """
             WITH t AS (SELECT doc_id, source, text,
                               CAST(CASE WHEN trim(text) = '' THEN 0

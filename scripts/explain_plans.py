@@ -241,6 +241,26 @@ def main() -> int:
                    'MapInArrow' in mf_plan
                    and 'Exchange' not in mf_plan))
 
+    # 20. mixture sampling: narrow map + generate over the scan — no
+    # exchange, no driver action; copies come from a staged array_repeat
+    mx_plan = plan_of(entry.q_mixture_sample(spark, sf_dir))
+    sections.append(('mixture_sample', mx_plan))
+    checks.append(('mixture_sample', 'generate over scan, no exchange',
+                   'Generate' in mx_plan and 'Exchange' not in mx_plan))
+    checks.append(('mixture_sample', 'scan pruned to doc_id,source',
+                   'ReadSchema: struct<doc_id:bigint,source:string>'
+                   in mx_plan))
+
+    # 21. tf-idf top terms: two hash aggregates + a doc-bounded ranking
+    # window with a map-side WindowGroupLimit (rnk<=3 never ships more
+    # than 3 rows per input partition per doc)
+    tt_plan = plan_of(entry.q_tfidf_top_terms(spark, sf_dir))
+    sections.append(('tfidf_top_terms', tt_plan))
+    checks.append(('tfidf_top_terms', 'two hash aggregates (tf, df)',
+                   tt_plan.count('HashAggregate') >= 2))
+    checks.append(('tfidf_top_terms', 'map-side window group limit',
+                   'WindowGroupLimit' in tt_plan))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:

@@ -284,3 +284,52 @@ def _bare_window_before_keyed(df):
                       (F.sum('v').over(w)
                        - F.coalesce('v', F.lit(0))).alias('before'))
             .collect()}
+
+
+def test_mixture_sample_matches_closed_form(spark):
+    """round-4 mixture op: per-doc copy counts equal the closed form
+    floor(w) + [md5-hash16 < frac(w)*2^16] for w = 0.25 + 0.75*(src%4),
+    and copy_idx is dense 0..n-1 (deterministic upsampling, no RNG)."""
+    import hashlib
+    from collections import defaultdict
+    import __spark_entry__ as entry
+    got = defaultdict(list)
+    for r in entry.q_mixture_sample(spark, SF_DIR).collect():
+        got[(r.doc_id, r.source)].append(r.copy_idx)
+    docs = {(r.doc_id, r.source) for r in
+            entry._table(spark, SF_DIR, 'documents')
+            .select('doc_id', 'source').collect()}
+    assert docs, 'empty documents table'
+    seen_counts = set()
+    for doc_id, source in docs:
+        m = int(source[3:]) % 4
+        h4 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        n = entry._MIX_WHOLE[m] + (1 if h4 < entry._MIX_FRAC16[m] else 0)
+        idxs = sorted(got.pop((doc_id, source), []))
+        assert idxs == list(range(n)), (doc_id, source, n, idxs)
+        seen_counts.add(n)
+    assert not got, f'copies for unknown docs: {list(got)[:3]}'
+    assert 0 in seen_counts and max(seen_counts) >= 2  # sub- AND up-sampled
+
+
+def test_tfidf_top_terms_matches_python_recompute(spark):
+    """round-4 tf-idf op: the full (doc, term, tf, df, score, rnk) frame
+    equals an exact integer recompute from the raw text."""
+    from collections import Counter
+    import __spark_entry__ as entry
+    docs = {r.doc_id: r.text for r in
+            entry._table(spark, SF_DIR, 'documents')
+            .select('doc_id', 'text').collect()}
+    tf = {d: Counter(t for t in txt.strip().split() if t)
+          for d, txt in docs.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    expect = set()
+    for d, c in tf.items():
+        ranked = sorted(((t, n) for t, n in c.items()),
+                        key=lambda tn: (-(tn[1] * 10000 // df[tn[0]]),
+                                        tn[0]))
+        for rnk, (t, n) in enumerate(ranked[:entry._TFIDF_TOPK], 1):
+            expect.add((d, t, n, df[t], n * 10000 // df[t], rnk))
+    got = {(r.doc_id, r.term, r.tf, r.df, r.score_x10k, r.rnk)
+           for r in entry.q_tfidf_top_terms(spark, SF_DIR).collect()}
+    assert got == expect
