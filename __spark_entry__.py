@@ -508,25 +508,17 @@ def q_mixture_sample(spark, sf_dir) -> DataFrame:
     w, so a 2.5-epoch source duplicates every doc twice and half the docs
     a third time — decided by the same content-independent md5(doc_id)
     hash as q_dataset_split (re-runs and re-shards never change the
-    mixture). Copies materialize via posexplode of a staged array_repeat
-    (CLAUDE.md rule: never put the producing expression inside the
-    Generate; F.sequence is unsafe for empty ranges — sequence(0,-1) is
-    [0,-1], not []). At scale this is a narrow map + generate stage: no
-    shuffle, no driver action, output partitions inherit the scan."""
+    mixture). Routed through pipeline/curate.mixture_copies — the one
+    shared definition the curation job's --mixture stage also runs — so
+    the oracle pins the production path. At scale this is a narrow map +
+    generate stage: no shuffle, no driver action, output partitions
+    inherit the scan."""
+    from pyxml_spark.pipeline.curate import mixture_copies
     docs = _table(spark, sf_dir, 'documents')
     m = (F.regexp_extract('source', r'src(\d+)', 1).cast('int') % 4)
     whole = F.element_at(F.lit(_MIX_WHOLE), m + 1)
     frac16 = F.element_at(F.lit(_MIX_FRAC16), m + 1)
-    h4 = F.conv(F.substring(
-        F.md5(F.col('doc_id').cast('string').cast('binary')), 1, 4),
-        16, 10).cast('long')
-    n_copies = (whole + F.when(h4 < frac16, 1).otherwise(0)).cast('int')
-    staged = (docs.select('doc_id', 'source')
-              .withColumn('_copies', F.array_repeat(F.lit(1), n_copies)))
-    return (staged.select('doc_id', 'source',
-                          F.posexplode('_copies').alias('copy_idx', '_one'))
-            .select('doc_id', 'source',
-                    F.col('copy_idx').cast('long').alias('copy_idx')))
+    return mixture_copies(docs.select('doc_id', 'source'), whole, frac16)
 
 
 _TFIDF_TOPK = 3

@@ -15,6 +15,11 @@ the composition a pretraining-data job runs at corpus scale:
      (hash-gram broadcast join).
   4. **sequence packing** (pipeline/prefix.py): running token count →
      pack_id per (source, 512-token budget), no whole-source sort.
+  5. **mixture sampling** (optional ``--mixture`` JSON of per-source
+     epoch weights): deterministic fractional up/down-sampling via
+     pipeline/curate.mixture_copies — content-independent md5(doc_id)
+     copy decisions, so re-runs never migrate which docs carry the
+     extra fractional copy.
 
 Each stage writes parquet + a params manifest (same contract as
 jobs/dedup.py: ``--resume`` honors _SUCCESS only when the manifest
@@ -60,11 +65,25 @@ def main(argv=None) -> int:
     ap.add_argument('--max-rep-x10k', type=int, default=None)
     ap.add_argument('--pack-budget', type=int, default=512)
     ap.add_argument('--dup-threshold-x10k', type=int, default=8000)
+    ap.add_argument('--mixture', default=None,
+                    help='JSON object of per-source epoch weights '
+                         '(e.g. \'{"src0": 2.5, "src1": 0.25}\'; sources '
+                         'not listed keep weight 1.0) — adds a final '
+                         'deterministic weighted-sampling stage')
     ap.add_argument('--checkpoint-dir', default=None)
     ap.add_argument('--cpus', type=int, default=int(os.environ.get(
         'SPARK_GRAFT_CPUS', '8')))
     ap.add_argument('--resume', action='store_true')
     args = ap.parse_args(argv)
+
+    weights = None
+    if args.mixture:
+        weights = json.loads(args.mixture)
+        if not isinstance(weights, dict) or not all(
+                isinstance(k, str) and isinstance(v, (int, float))
+                and v >= 0 for k, v in weights.items()):
+            raise SystemExit('--mixture must be a JSON object of '
+                             'non-negative per-source weights')
 
     from pyspark.sql import functions as F
 
@@ -92,10 +111,12 @@ def main(argv=None) -> int:
             if stage in ('keepers', 'curated'):
                 p.update(dup_threshold_x10k=args.dup_threshold_x10k,
                          pair_window=PAIR_WINDOW)
-            if stage == 'curated':
+            if stage in ('curated', 'mixed'):
                 p.update(benchmark=(os.path.abspath(args.benchmark)
                                     if args.benchmark else None),
                          pack_budget=args.pack_budget)
+            if stage == 'mixed':
+                p.update(mixture={k: weights[k] for k in sorted(weights)})
             return p
 
         def committed(path: str, stage: str) -> bool:
@@ -207,6 +228,22 @@ def main(argv=None) -> int:
         metrics['n_curated'] = n_curated
         metrics['n_packs'] = curated.select('source', 'pack_id') \
             .distinct().count()
+
+        # stage 5 (optional): epoch-weighted mixture over the curated
+        # output — deterministic fractional up/down-sampling per source
+        # (pipeline/curate.mixture_copies, the contract-pinned path)
+        if args.mixture:
+            from pyxml_spark.pipeline.curate import (mixture_copies,
+                                                     source_weight_cols)
+            mixed_path = os.path.join(out_dir, 'mixed.parquet')
+            if not committed(mixed_path, 'mixed'):
+                whole, frac16 = source_weight_cols(weights)
+                mixture_copies(curated, whole, frac16) \
+                    .write.mode('overwrite').parquet(mixed_path)
+                mark(mixed_path, 'mixed')
+                stages_run.append('mixed')
+            metrics['n_mixed'] = spark.read.parquet(mixed_path).count()
+            metrics['mixed_path'] = mixed_path
 
         print(json.dumps({
             **metrics,

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ['QUALITY_MIN_TOKENS', 'QUALITY_MAX_TOKENS', 'REP_MAX_X10K',
-           'score_documents', 'repetition_x10k', 'decontaminate']
+           'score_documents', 'repetition_x10k', 'decontaminate',
+           'mixture_copies', 'source_weight_cols']
 
 QUALITY_MIN_TOKENS = 5
 QUALITY_MAX_TOKENS = 500
@@ -129,3 +130,63 @@ def decontaminate(df: DataFrame, bench_df: DataFrame,
         F.coalesce('n_gram_hits', F.lit(0)).cast('long')
         .alias('n_gram_hits'),
         (F.coalesce('n_gram_hits', F.lit(0)) > 0).alias('contaminated'))
+
+
+def mixture_copies(df: DataFrame, whole, frac16,
+                   id_col: str = 'doc_id',
+                   out_col: str = 'copy_idx') -> DataFrame:
+    """Deterministic weighted up/down-sampling (training-corpus epoch
+    weights): emit ``whole + [hash16 < frac16]`` copies of each row with a
+    dense ``out_col`` = 0..n-1, where ``whole``/``frac16`` are integer
+    Column expressions (floor of the weight and its fraction in 2^16ths).
+
+    The copy decision hashes only the row id (md5, first 16 bits) — the
+    same content-independent basis as the dataset split — so re-runs,
+    re-shards, and text edits never change which rows carry the extra
+    fractional copy. Copies materialize via posexplode of a staged
+    array_repeat: staging obeys the no-expression-inside-Generate rule,
+    and F.sequence is unsafe for the empty case (sequence(0,-1) is
+    [0,-1], not []). The plan is a narrow map + generate over the scan —
+    no shuffle, no driver action; a weight of 0.25 keeps a deterministic
+    quarter of rows, 2.5 duplicates every row twice and half a third time.
+    """
+    h16 = F.conv(F.substring(
+        F.md5(F.col(id_col).cast('string').cast('binary')), 1, 4),
+        16, 10).cast('long')
+    n = (whole + F.when(h16 < frac16, 1).otherwise(0)).cast('int')
+    staged = df.withColumn('_mix_copies', F.array_repeat(F.lit(1), n))
+    return (staged.select(*df.columns,
+                          F.posexplode('_mix_copies')
+                          .alias(out_col, '_mix_one'))
+            .drop('_mix_one')
+            .withColumn(out_col, F.col(out_col).cast('long')))
+
+
+def source_weight_cols(weights: dict, source_col: str = 'source',
+                       default: float = 1.0):
+    """map per-source float weights to the (whole, frac16) integer Column
+    pair :func:`mixture_copies` takes; sources absent from ``weights``
+    get ``default``. Weights land as two nested literal arrays + one
+    array_position lookup (one py4j literal per array — the similarity.py
+    lesson), so the mapping is vocab-sized and rides the row projection.
+    """
+    import math
+
+    def split_w(w: float):
+        if w < 0:
+            raise ValueError(f'negative mixture weight: {w}')
+        whole = int(math.floor(w))
+        return whole, int(round((w - whole) * 65536))
+
+    d_whole, d_frac = split_w(default)
+    sources = sorted(weights)
+    if not sources:
+        return F.lit(d_whole), F.lit(d_frac)
+    wholes = [split_w(weights[s])[0] for s in sources]
+    fracs = [split_w(weights[s])[1] for s in sources]
+    idx = F.array_position(F.lit(sources), F.col(source_col))
+    whole = F.when(idx > 0, F.element_at(F.lit(wholes), idx.cast('int'))) \
+        .otherwise(d_whole)
+    frac16 = F.when(idx > 0, F.element_at(F.lit(fracs), idx.cast('int'))) \
+        .otherwise(d_frac)
+    return whole, frac16

@@ -98,3 +98,58 @@ def test_curate_job_end_to_end(tmp_path):
               '/root/testdata/sf0.001/documents.parquet'])
     assert m3['stages_run'] == ['curated']
     assert m3['n_curated'] < m['n_curated']
+
+
+def test_curate_job_mixture_stage(tmp_path):
+    """--mixture adds a deterministic weighted-sampling stage on top of
+    the curated output: totals match the closed form per doc, weight-0
+    sources vanish, and resume re-runs only the mixed stage."""
+    import hashlib
+    import pyarrow.parquet as pq
+    from pyxml_spark.jobs.curate import main
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / 'curated')
+
+    def run(extra):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(['--input',
+                         '/root/testdata/sf0.001/documents.parquet',
+                         '--output', out, '--cpus', '4'] + extra) == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    m = run([])
+    weights = {'src0': 0.0, 'src1': 2.5}
+    m2 = run(['--resume', '--mixture', json.dumps(weights)])
+    assert m2['stages_run'] == ['mixed']
+    assert m2['n_curated'] == m['n_curated']
+
+    cur = pq.read_table(out + '/curated.parquet',
+                        columns=['doc_id', 'source']).to_pylist()
+    expect = 0
+    for r in cur:
+        w = weights.get(r['source'], 1.0)
+        whole = int(w)
+        frac16 = int(round((w - whole) * 65536))
+        h4 = int(hashlib.md5(str(r['doc_id']).encode())
+                 .hexdigest()[:4], 16)
+        expect += whole + (1 if h4 < frac16 else 0)
+    assert m2['n_mixed'] == expect
+
+    mixed = pq.read_table(m2['mixed_path'],
+                          columns=['source', 'copy_idx']).to_pylist()
+    assert len(mixed) == expect
+    assert not any(r['source'] == 'src0' for r in mixed)
+    # whole(2.5) = 2: every surviving src1 doc carries at least copies
+    # 0 and 1 (the fractional third copy depends on the doc hash)
+    src1 = [r['copy_idx'] for r in mixed if r['source'] == 'src1']
+    assert src1 and max(src1) >= 1
+
+    # rerun with same weights: fully resumed; changed weights re-run
+    m3 = run(['--resume', '--mixture', json.dumps(weights)])
+    assert m3['stages_run'] == [] and m3['n_mixed'] == expect
+    m4 = run(['--resume', '--mixture', json.dumps({'src1': 1.0})])
+    assert m4['stages_run'] == ['mixed']
+    assert m4['n_mixed'] == m4['n_curated']
