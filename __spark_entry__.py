@@ -539,8 +539,10 @@ def q_tfidf_top_terms(spark, sf_dir) -> DataFrame:
                         .alias('term'))
             .where(F.col('term') != ''))
     tf = toks.groupBy('doc_id', 'term').agg(F.count('*').alias('tf'))
-    dfreq = tf.groupBy('term').agg(
-        F.countDistinct('doc_id').alias('df'))
+    # tf is already distinct per (doc_id, term), so document frequency is
+    # a plain COUNT(*) — countDistinct would add a partial-distinct pass
+    # for values that cannot repeat
+    dfreq = tf.groupBy('term').agg(F.count(F.lit(1)).alias('df'))
     from pyspark.sql.window import Window
     scored = (tf.join(dfreq, 'term')
               .withColumn('score_x10k',
@@ -1074,7 +1076,9 @@ def q_turn_context(spark, sf_dir) -> DataFrame:
     docs = _table(spark, sf_dir, 'documents')
     t = docs.select(
         (F.col('doc_id') % 50).cast('string').alias('conv_id'),
-        F.floor(F.col('doc_id') / 50).cast('long').alias('turn_idx'),
+        # integer `div`, not floor(double /): double division rounds above
+        # 2^53 and floor() can land one off vs the oracle's exact `//`
+        F.expr('doc_id div 50').cast('long').alias('turn_idx'),
         'text')
     w = (Window.partitionBy('conv_id').orderBy('turn_idx')
          .rowsBetween(-2, Window.currentRow))
@@ -2060,7 +2064,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, term, COUNT(*) AS tf
                 FROM toks WHERE term <> '' GROUP BY doc_id, term),
                  dfreq AS (
-                SELECT term, COUNT(DISTINCT doc_id) AS df
+                SELECT term, COUNT(*) AS df
                 FROM tf GROUP BY term),
                  scored AS (
                 SELECT tf.doc_id, tf.term,

@@ -78,7 +78,11 @@ def main(argv=None) -> int:
 
     weights = None
     if args.mixture:
-        weights = json.loads(args.mixture)
+        try:
+            weights = json.loads(args.mixture)
+        except ValueError:
+            raise SystemExit('--mixture must be a JSON object of '
+                             'non-negative per-source weights')
         if not isinstance(weights, dict) or not all(
                 isinstance(k, str) and isinstance(v, (int, float))
                 and v >= 0 for k, v in weights.items()):
@@ -108,7 +112,12 @@ def main(argv=None) -> int:
                  'input': os.path.abspath(args.input),
                  'id_col': args.id_col, 'text_col': args.text_col,
                  'source_col': args.source_col, 'max_rep_x10k': max_rep}
-            if stage in ('keepers', 'curated'):
+            # manifests are cumulative downstream: every stage carries the
+            # params of ALL upstream stages whose output it consumes, so a
+            # resumed run with any changed upstream knob re-runs this stage
+            # too (e.g. a new --dup-threshold-x10k must rebuild mixed.parquet,
+            # not just keepers/curated)
+            if stage in ('keepers', 'curated', 'mixed'):
                 p.update(dup_threshold_x10k=args.dup_threshold_x10k,
                          pair_window=PAIR_WINDOW)
             if stage in ('curated', 'mixed'):

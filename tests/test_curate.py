@@ -153,3 +153,11 @@ def test_curate_job_mixture_stage(tmp_path):
     m4 = run(['--resume', '--mixture', json.dumps({'src1': 1.0})])
     assert m4['stages_run'] == ['mixed']
     assert m4['n_mixed'] == m4['n_curated']
+
+    # manifests are cumulative downstream: resuming with a changed dedup
+    # threshold must rebuild everything the keepers feed — including the
+    # mixture stage (a stale mixed.parquet would keep doc_ids the new
+    # dedup pass removed)
+    m5 = run(['--resume', '--mixture', json.dumps({'src1': 1.0}),
+              '--dup-threshold-x10k', '9000'])
+    assert m5['stages_run'] == ['keepers', 'curated', 'mixed']

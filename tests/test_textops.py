@@ -316,12 +316,21 @@ def test_tfidf_top_terms_matches_python_recompute(spark):
     """round-4 tf-idf op: the full (doc, term, tf, df, score, rnk) frame
     equals an exact integer recompute from the raw text."""
     from collections import Counter
+    import re
     import __spark_entry__ as entry
     docs = {r.doc_id: r.text for r in
             entry._table(spark, SF_DIR, 'documents')
             .select('doc_id', 'text').collect()}
-    tf = {d: Counter(t for t in txt.strip().split() if t)
-          for d, txt in docs.items()}
+
+    def toks(txt):
+        # mirror the engines exactly: trim() strips ASCII spaces only, and
+        # Java-regex \s is the ASCII set [ \t\n\x0B\f\r] — Python's
+        # str.split()/str.strip() are Unicode-aware (U+00A0 etc.) and would
+        # diverge from BOTH engines on non-ASCII whitespace
+        return [t for t in re.split(r'[ \t\n\x0b\f\r]+', txt.strip(' '))
+                if t]
+
+    tf = {d: Counter(toks(txt)) for d, txt in docs.items()}
     df = Counter(t for c in tf.values() for t in c)
     expect = set()
     for d, c in tf.items():
