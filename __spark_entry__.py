@@ -1052,6 +1052,53 @@ def q_events_rollup(spark, sf_dir) -> DataFrame:
         .cast('double').alias('total_value')))
 
 
+def q_events_sessionize(spark, sf_dir) -> DataFrame:
+    """inactivity-gap sessionization (30-min gap) + per-session rollup.
+    One Exchange on user_id shared by the lag window, the running
+    flag-sum, and the session aggregate; per-user windows are bounded by
+    that user's event count. All time math is integer epoch-micros
+    (pipeline/temporal.py), so the oracle twins it exactly with DuckDB's
+    epoch_us and the same window pair."""
+    from pyxml_spark.pipeline.temporal import sessionize
+    events = _table(spark, sf_dir, 'events')
+    s = sessionize(events)
+    return (s.groupBy('user_id', 'session_idx').agg(
+        F.count('*').alias('n_events'),
+        F.min('ts_us').alias('start_us'),
+        F.max('ts_us').alias('end_us'),
+        (F.max('ts_us') - F.min('ts_us')).alias('duration_us'),
+        F.sum(F.col('value').cast('decimal(18,2)')).cast('double')
+        .alias('total_value')))
+
+
+def q_events_asof_join(spark, sf_dir) -> DataFrame:
+    """as-of join: each click paired with the user's most recent error
+    at-or-before it. The Spark plan is JOINLESS — a running
+    last(ignorenulls) window over (user, ts) is the sort-merge as-of
+    (asserted in PLANS.md: no Join operator) — while the DuckDB oracle
+    runs its native ASOF LEFT JOIN, so parity here is checked by a
+    genuinely independent implementation, not a twin of the same
+    algorithm. (user_id, ts) is unique in the testdata, which the as-of
+    tie semantics require (pipeline/temporal.py contract)."""
+    from pyxml_spark.pipeline.temporal import asof_last_before
+    events = _table(spark, sf_dir, 'events')
+    return asof_last_before(events, 'click', 'error')
+
+
+def q_events_range_join(spark, sf_dir) -> DataFrame:
+    """trailing range join: per error event, count + value-sum the same
+    user's clicks in the preceding 10 minutes. Spark runs the bucketed
+    form (right side keyed on (user, ts div W), left probes 2 buckets,
+    exact range filter inside the equi-join — linear at fixed temporal
+    density), while the DuckDB oracle runs the naive inequality join —
+    the bucketing optimization is verified against an independent
+    implementation. Value sums ride decimal(18,2) for addition-order
+    independence."""
+    from pyxml_spark.pipeline.temporal import range_count_before
+    events = _table(spark, sf_dir, 'events')
+    return range_count_before(events, 'error', 'click')
+
+
 def q_ordered_turns(spark, sf_dir) -> DataFrame:
     """stable-ordering primitive: dense sequence index per source by doc_id.
     row_number over a bare per-source window would sort each source in one
@@ -1481,6 +1528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'part_brand_stats': q_part_brand_stats,
         'supplier_nation': q_supplier_nation,
         'events_rollup': q_events_rollup,
+        'events_sessionize': q_events_sessionize,
+        'events_asof_join': q_events_asof_join,
+        'events_range_join': q_events_range_join,
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
         'streaming_extract': q_streaming_extract,
@@ -2217,6 +2267,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                        AS total_value
             FROM events GROUP BY user_id, event_type""",
+        'events_sessionize': """
+            WITH t AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, value,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events),
+                 s AS (
+                SELECT user_id, ts_us, value,
+                       CAST(SUM(CASE WHEN prev IS NULL
+                                     OR ts_us - prev > 1800000000
+                                THEN 1 ELSE 0 END) OVER (
+                            PARTITION BY user_id ORDER BY ts_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS session_idx
+                FROM t)
+            SELECT user_id, session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+                   MAX(ts_us) - MIN(ts_us) AS duration_us,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_value
+            FROM s GROUP BY user_id, session_idx""",
+        'events_asof_join': """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 e AS (SELECT event_id AS right_event_id, user_id, ts
+                       FROM events WHERE event_type = 'error')
+            SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+                   e.right_event_id,
+                   epoch_us(e.ts) AS right_ts_us,
+                   epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+            FROM c ASOF LEFT JOIN e
+                ON c.user_id = e.user_id AND c.ts >= e.ts""",
+        'events_range_join': """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'error'),
+                 c AS (SELECT user_id, epoch_us(ts) AS r_ts_us, value
+                       FROM events WHERE event_type = 'click')
+            SELECT e.event_id, e.user_id, e.ts_us,
+                   CAST(COUNT(c.r_ts_us) AS BIGINT) AS n_right,
+                   CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,2))), 0)
+                        AS DOUBLE) AS right_value
+            FROM e LEFT JOIN c ON e.user_id = c.user_id
+                AND c.r_ts_us > e.ts_us - 600000000
+                AND c.r_ts_us <= e.ts_us
+            GROUP BY e.event_id, e.user_id, e.ts_us""",
         'ordered_turns': """
             SELECT doc_id, source,
                    CAST(ROW_NUMBER() OVER (PARTITION BY source

@@ -261,6 +261,35 @@ def main() -> int:
     checks.append(('tfidf_top_terms', 'map-side window group limit',
                    'WindowGroupLimit' in tt_plan))
 
+    # 22. as-of join: compiled to a running window merge — the plan must
+    # contain NO join operator at all (the naive form is a per-entity
+    # nested loop) and exactly one Exchange (the user_id shuffle)
+    aj_plan = plan_of(entry.q_events_asof_join(spark, sf_dir))
+    sections.append(('events_asof_join', aj_plan))
+    checks.append(('events_asof_join', 'joinless window merge',
+                   'Join' not in aj_plan and 'Window' in aj_plan))
+    checks.append(('events_asof_join', 'single Exchange on user_id',
+                   aj_plan.count(') Exchange') == 1))
+
+    # 23. range join: bucketed equi-join (SortMergeJoin/ShuffledHashJoin
+    # on (user, bucket)), never a BroadcastNestedLoopJoin / cartesian
+    rj_plan = plan_of(entry.q_events_range_join(spark, sf_dir))
+    sections.append(('events_range_join', rj_plan))
+    checks.append(('events_range_join', 'no nested-loop range join',
+                   'BroadcastNestedLoop' not in rj_plan
+                   and 'Cartesian' not in rj_plan))
+    checks.append(('events_range_join', 'bucketed probe explode',
+                   'Generate' in rj_plan))
+
+    # 24. sessionize: the lag window, running flag-sum and session
+    # aggregate all share one user_id Exchange
+    ss_plan = plan_of(entry.q_events_sessionize(spark, sf_dir))
+    sections.append(('events_sessionize', ss_plan))
+    checks.append(('events_sessionize', 'windows + aggregate share one '
+                   'user_id Exchange',
+                   ss_plan.count(') Exchange') == 1
+                   and ss_plan.count(') Window') >= 2))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:
