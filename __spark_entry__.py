@@ -1232,6 +1232,49 @@ def q_streaming_rollup(spark, sf_dir) -> DataFrame:
         F.col('chars_in').cast('long').alias('chars_in'))
 
 
+def q_streaming_sessionize(spark, sf_dir) -> DataFrame:
+    """streaming sessionization: Spark's built-in gap-based
+    session_window (2h gap) over the events file stream, complete-mode
+    memory sink (update is rejected for session-window aggs), availableNow
+    = one batch = deterministic (CLAUDE.md streaming recipe; append would
+    drop the sessions still inside the watermark horizon). Boundary rule
+    MATCHES the batch operator (pinned by a planted-tie test, against the
+    half-open-interval intuition): session_window merges touching windows,
+    so a NEW session starts only at diff > gap, and the oracle's running
+    flag-sum uses exactly that >. Bounds are exact epoch micros
+    (unix_micros under the pinned-UTC session); window.end = last ts +
+    gap. At stream scale the session state store is bounded by the
+    watermark horizon, never by stream length."""
+    from pyxml_spark.pipeline.streaming import session_rollup_stream
+    tz_key = 'spark.sql.session.timeZone'
+    old_tz = spark.conf.get(tz_key, None)
+    spark.conf.set(tz_key, 'UTC')
+    try:
+        sch = spark.read.parquet(f'{sf_dir}/events.parquet').schema
+        stream = (spark.readStream.schema(sch)
+                  .option('pathGlobFilter', 'events.parquet')
+                  .parquet(sf_dir))
+        ev = stream.select('user_id', 'value',
+                           F.col('ts').cast('timestamp').alias('ts'))
+        roll = session_rollup_stream(ev)
+        name = 'q_streaming_sessionize_sink'
+        q = (roll.writeStream.format('memory').queryName(name)
+             .outputMode('complete').trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.table(name)
+    finally:
+        if old_tz is not None:
+            spark.conf.set(tz_key, old_tz)
+        else:
+            spark.conf.unset(tz_key)
+    return out.select(
+        'user_id',
+        F.unix_micros(F.col('session_window.start')).alias('start_us'),
+        F.unix_micros(F.col('session_window.end')).alias('end_us'),
+        F.col('n_events').cast('long').alias('n_events'),
+        'total_value')
+
+
 def q_streaming_extract(spark, sf_dir) -> DataFrame:
     """the flagship extraction operator's streaming face, driver-visible:
     the html-wrapped documents are staged once as a transcripts-shaped
@@ -1533,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_range_join': q_events_range_join,
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
+        'streaming_sessionize': q_streaming_sessionize,
         'streaming_extract': q_streaming_extract,
         'streaming_progress': q_streaming_progress,
         'media_features': q_media_features,
@@ -2289,6 +2333,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                        AS total_value
             FROM s GROUP BY user_id, session_idx""",
+        'streaming_sessionize': """
+            WITH t AS (
+                SELECT user_id, epoch_us(ts) AS us, value,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events),
+                 s AS (
+                SELECT user_id, us, value,
+                       CAST(SUM(CASE WHEN prev IS NULL
+                                     OR us - prev > 7200000000
+                                THEN 1 ELSE 0 END) OVER (
+                            PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS sid
+                FROM t)
+            SELECT user_id,
+                   MIN(us) AS start_us,
+                   MAX(us) + 7200000000 AS end_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_value
+            FROM s GROUP BY user_id, sid""",
         'events_asof_join': """
             WITH c AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'click'),

@@ -23,7 +23,7 @@ from .schema import EXTRACTION_SCHEMA, TRANSCRIPTS_SCHEMA
 
 __all__ = ['read_transcripts_stream', 'extract_stream',
            'conversation_rollup_stream', 'conversation_progress_stream',
-           'dedup_stream', 'run_file_stream']
+           'session_rollup_stream', 'dedup_stream', 'run_file_stream']
 
 
 def read_transcripts_stream(spark: SparkSession, path: str,
@@ -87,6 +87,33 @@ def conversation_progress_stream(stream: DataFrame,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     'update',
                                     GroupStateTimeout.NoTimeout))
+
+
+def session_rollup_stream(stream: DataFrame, gap: str = '2 hours',
+                          watermark: str = '4 hours',
+                          entity_col: str = 'user_id',
+                          value_col: str = 'value') -> DataFrame:
+    """streaming sessionization with Spark's built-in gap-based
+    ``session_window`` — the idiomatic streaming twin of the batch
+    ``pipeline/temporal.sessionize`` operator.
+
+    Boundary semantics (pinned by a planted-tie test — the half-open
+    ``[ts, ts+gap)`` intuition is WRONG here): Spark merges *touching*
+    per-event windows, so an event at exactly ``last ts + gap`` joins
+    the open session; a new session starts only at ``diff > gap`` —
+    the same rule as the batch ``pipeline/temporal.sessionize``
+    operator. ``window.end`` is ``last ts + gap``. Session state is bounded
+    by the watermark horizon: sessions idle past it finalize and leave
+    the state store, so state never grows with stream length — the only
+    sessionization form that survives an unbounded stream.
+    """
+    return (stream
+            .withWatermark('ts', watermark)
+            .groupBy(F.session_window('ts', gap).alias('session_window'),
+                     F.col(entity_col))
+            .agg(F.count('*').alias('n_events'),
+                 F.sum(F.col(value_col).cast('decimal(18,2)'))
+                 .cast('double').alias('total_value')))
 
 
 def dedup_stream(stream: DataFrame, watermark: str = '30 minutes',

@@ -255,3 +255,63 @@ def test_driver_media_features_signature(spark):
                 for k in range(16)]
         assert r.fsig == '-'.join(str(v) for v in want), r.media_id
         assert r.decode_error is None
+
+
+def test_session_rollup_stream_boundaries(spark, tmp_path):
+    """gap-based session_window: touching windows MERGE (an event at
+    exactly last_ts + gap joins the open session; new session only at
+    diff > gap), end = last ts + gap — the exact boundary rule the
+    streaming_sessionize oracle encodes, same as the batch operator."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.streaming import session_rollup_stream
+
+    tz_key = 'spark.sql.session.timeZone'
+    old_tz = spark.conf.get(tz_key, None)
+    spark.conf.set(tz_key, 'UTC')
+    try:
+        base = dt.datetime(2025, 1, 1, 0, 0, 0)
+        gap = dt.timedelta(hours=2)
+        rows = [
+            # u1: three events inside one session (diffs < gap), one at
+            # EXACTLY gap after the last (touching windows -> MERGES),
+            # then one strictly past the gap -> new session
+            ('u1', base, 1.0),
+            ('u1', base + dt.timedelta(minutes=30), 2.0),
+            ('u1', base + dt.timedelta(minutes=60), 3.0),
+            ('u1', base + dt.timedelta(minutes=60) + gap, 4.0),
+            ('u1', base + dt.timedelta(minutes=60) + 2 * gap
+             + dt.timedelta(microseconds=1), 5.0),
+            # u2: single event
+            ('u2', base + dt.timedelta(minutes=5), 7.0),
+        ]
+        inp = os.path.join(tmp_path, 'sess_in')
+        spark.createDataFrame(rows, 'user_id string, ts timestamp, value double') \
+            .coalesce(1).write.parquet(inp)
+        stream = (spark.readStream
+                  .schema('user_id string, ts timestamp, value double')
+                  .parquet(inp))
+        roll = session_rollup_stream(stream)
+        q = (roll.writeStream.format('memory').queryName('sess_test')
+             .outputMode('complete').trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {(r.user_id, r.start, r.end): (r.n_events, r.total_value)
+               for r in spark.table('sess_test').select(
+                   'user_id',
+                   F.col('session_window.start').alias('start'),
+                   F.col('session_window.end').alias('end'),
+                   'n_events', 'total_value').collect()}
+    finally:
+        if old_tz is not None:
+            spark.conf.set(tz_key, old_tz)
+        else:
+            spark.conf.unset(tz_key)
+    tie = base + dt.timedelta(minutes=60) + gap
+    late = base + dt.timedelta(minutes=60) + 2 * gap \
+        + dt.timedelta(microseconds=1)
+    assert got == {
+        ('u1', base, tie + gap): (4, 10.0),
+        ('u1', late, late + gap): (1, 5.0),
+        ('u2', base + dt.timedelta(minutes=5),
+         base + dt.timedelta(minutes=5) + gap): (1, 7.0),
+    }
