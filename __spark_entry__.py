@@ -1052,6 +1052,49 @@ def q_events_rollup(spark, sf_dir) -> DataFrame:
         .cast('double').alias('total_value')))
 
 
+def q_events_cube(spark, sf_dir) -> DataFrame:
+    """grouping-sets rollup: (event_type, hour-of-day) -> (event_type) ->
+    grand total in ONE pass. Spark plans Expand + a single hash aggregate
+    with map-side partials, so the multi-level cube costs one shuffle —
+    the OLAP answer to "N groupBys + union" (which would scan N times).
+    grouping_id() disambiguates subtotal rows from real NULL keys; hour
+    is pure integer epoch-micros math (tz-free, twins DuckDB exactly)."""
+    events = _table(spark, sf_dir, 'events')
+    from pyxml_spark.pipeline.temporal import epoch_us
+    ev = events.select(
+        'event_type',
+        ((epoch_us('ts') / 3600000000).cast('long') % 24).alias('hour'),
+        'value')
+    return (ev.rollup('event_type', 'hour')
+            .agg(F.count('*').alias('n'),
+                 F.sum(F.col('value').cast('decimal(18,2)'))
+                 .cast('double').alias('total_value'),
+                 F.grouping_id().alias('gid'))
+            .select(F.coalesce('event_type', F.lit('ALL'))
+                    .alias('event_type'),
+                    F.coalesce('hour', F.lit(-1)).cast('long')
+                    .alias('hour'),
+                    F.col('gid').cast('long').alias('gid'),
+                    'n', 'total_value'))
+
+
+def q_doc_length_quantiles(spark, sf_dir) -> DataFrame:
+    """exact per-source length quantiles via Spark's sort-based
+    percentile aggregate (type-7 linear interpolation, same definition as
+    DuckDB's quantile_cont). round(4) because the two engines may order
+    the lower+(higher-lower)*frac FMA differently (last-ulp divergence on
+    the non-dyadic 0.9 fraction); integer inputs keep everything else
+    exact. At 100 TB the drop-in scale path is percentile_approx (KLL
+    sketch, mergeable partials, no full sort) — same call shape, bounded
+    error; the exact form is the contract row because it has a SQL twin."""
+    docs = _table(spark, sf_dir, 'documents')
+    qs = {'p25': 0.25, 'p50': 0.5, 'p75': 0.75, 'p90': 0.9}
+    return (docs.groupBy('source')
+            .agg(F.count('*').alias('n_docs'),
+                 *[F.round(F.expr(f'percentile(n_chars, {p})'), 4)
+                   .alias(name) for name, p in qs.items()]))
+
+
 def q_events_sessionize(spark, sf_dir) -> DataFrame:
     """inactivity-gap sessionization (30-min gap) + per-session rollup.
     One Exchange on user_id shared by the lag window, the running
@@ -1574,6 +1617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_sessionize': q_events_sessionize,
         'events_asof_join': q_events_asof_join,
         'events_range_join': q_events_range_join,
+        'events_cube': q_events_cube,
+        'doc_length_quantiles': q_doc_length_quantiles,
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
         'streaming_sessionize': q_streaming_sessionize,
@@ -2311,6 +2356,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                        AS total_value
             FROM events GROUP BY user_id, event_type""",
+        'events_cube': """
+            WITH ev AS (
+                SELECT event_type,
+                       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                           AS hour,
+                       value
+                FROM events)
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(hour, -1) AS hour,
+                   CAST(GROUPING(event_type) * 2 + GROUPING(hour)
+                        AS BIGINT) AS gid,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_value
+            FROM ev GROUP BY ROLLUP(event_type, hour)""",
+        'doc_length_quantiles': """
+            SELECT source, COUNT(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90
+            FROM documents GROUP BY source""",
         'events_sessionize': """
             WITH t AS (
                 SELECT user_id, epoch_us(ts) AS ts_us, value,

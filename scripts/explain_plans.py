@@ -290,6 +290,28 @@ def main() -> int:
                    ss_plan.count(') Exchange') == 1
                    and ss_plan.count(') Window') >= 2))
 
+    # 25. grouping-sets rollup: ONE Expand + hash aggregate with map-side
+    # partials — the multi-level cube costs a single shuffle, not one
+    # groupBy per level
+    ec_plan = plan_of(entry.q_events_cube(spark, sf_dir))
+    sections.append(('events_cube', ec_plan))
+    checks.append(('events_cube', 'one Expand, partial aggregation',
+                   ec_plan.count('Expand') >= 1
+                   and 'partial_count' in ec_plan))
+    checks.append(('events_cube', 'single aggregate Exchange',
+                   ec_plan.count(') Exchange') == 1))
+
+    # 26. exact quantiles: sort-based percentile aggregate with partial
+    # (map-side) accumulation; scan pruned to (source, n_chars) — text is
+    # never read
+    dq_plan = plan_of(entry.q_doc_length_quantiles(spark, sf_dir))
+    sections.append(('doc_length_quantiles', dq_plan))
+    checks.append(('doc_length_quantiles', 'partial percentile aggregate',
+                   'partial_percentile' in dq_plan
+                   or 'percentile' in dq_plan))
+    checks.append(('doc_length_quantiles', 'scan pruned to source,n_chars',
+                   'ReadSchema: struct<source:string,n_chars:' in dq_plan))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:
