@@ -1095,6 +1095,97 @@ def q_doc_length_quantiles(spark, sf_dir) -> DataFrame:
                    .alias(name) for name, p in qs.items()]))
 
 
+#: pivot value list pinned at the call site — ``pivot()`` WITHOUT values
+#: runs an eager distinct job over the fact table before the plan even
+#: builds (a whole extra 100-TB scan); with the list explicit the pivot
+#: lowers to one conditional-aggregation slot per (type, measure)
+_EVENT_TYPES = ['click', 'error', 'purchase', 'signup', 'view']
+
+
+def q_events_pivot(spark, sf_dir) -> DataFrame:
+    """long->wide pivot: per-user event counts and decimal-exact value
+    sums, one column pair per event type, in ONE shuffle on user_id.
+    Missing (user, type) cells are 0 (count) / 0.0 (sum) so the wide
+    table is dense — exactly the CASE WHEN battery of the SQL twin."""
+    events = _table(spark, sf_dir, 'events')
+    agg = (events.groupBy('user_id')
+           .pivot('event_type', _EVENT_TYPES)
+           .agg(F.count(F.lit(1)).alias('n'),
+                F.sum(F.col('value').cast('decimal(18,2)')).alias('val')))
+    cols = [F.col('user_id')]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f'{t}_n'), F.lit(0))
+                    .cast('long').alias(f'{t}_n'))
+        cols.append(F.coalesce(F.col(f'{t}_val'),
+                               F.lit(0).cast('decimal(18,2)'))
+                    .cast('double').alias(f'{t}_val'))
+    return agg.select(cols)
+
+
+def q_json_props_extract(spark, sf_dir) -> DataFrame:
+    """schema-on-read over the semi-structured props column: from_json
+    with an EXPLICIT schema ('k INT'), so there is no sampling/inference
+    pass over the corpus and parsing stays JVM-side inside whole-stage
+    codegen (no Python worker anywhere — asserted in PLANS.md). Malformed
+    rows degrade to NULL fields (PERMISSIVE mode), never a job failure —
+    the contract a 100-TB semi-structured scan needs."""
+    events = _table(spark, sf_dir, 'events')
+    return (events.select(
+        'event_id', 'event_type',
+        F.from_json('props', 'k INT').getField('k').alias('k')))
+
+
+def q_events_rank_battery(spark, sf_dir) -> DataFrame:
+    """the ranking-window battery per user — rank / dense_rank (tied
+    doubles exercise the difference), ntile(4), lag/lead — all over ONE
+    (user_id, value DESC, event_id) ordering, so the plan sorts once and
+    shuffles once on user_id (asserted); per-user partitions are bounded
+    by that user's event count, never a whole-table sort."""
+    from pyspark.sql.window import Window
+    events = _table(spark, sf_dir, 'events')
+    w = Window.partitionBy('user_id').orderBy(
+        F.desc('value'), F.asc('event_id'))
+    return events.select(
+        'event_id', 'user_id', 'value',
+        F.rank().over(w).cast('long').alias('rnk'),
+        F.dense_rank().over(w).cast('long').alias('drnk'),
+        F.ntile(4).over(w).cast('long').alias('quartile'),
+        F.lag('value', 1).over(w).alias('prev_value'),
+        F.lead('value', 1).over(w).alias('next_value'))
+
+
+def q_corpus_diff(spark, sf_dir) -> DataFrame:
+    """multiset snapshot diff between two curation gates over the same
+    corpus: (source, lang) rows passing the length gate but not the lang
+    gate (EXCEPT ALL) and rows passing both (INTERSECT ALL), multiplicity
+    preserved. Spark lowers both to a count-aggregate on the row value —
+    one shuffle each, no join explosion, no distinct-collapse surprise
+    (set-minus EXCEPT would silently drop duplicate rows, the wrong
+    answer for corpus accounting)."""
+    docs = _table(spark, sf_dir, 'documents')
+    a = docs.where(F.col('n_chars') >= 250).select('source', 'lang')
+    b = (docs.where(F.col('lang').isin('en', 'de', 'zh'))
+         .select('source', 'lang'))
+    return (a.exceptAll(b).withColumn('op', F.lit('except_all'))
+            .unionAll(a.intersectAll(b)
+                      .withColumn('op', F.lit('intersect_all'))))
+
+
+def q_export_sorted(spark, sf_dir) -> DataFrame:
+    """total-order export layout: repartitionByRange on (source, doc_id)
+    + sortWithinPartitions — the write-path op that makes every output
+    file globally range-disjoint AND internally sorted, so downstream
+    scans get min/max-pruning for free. Range bounds come from Spark's
+    distributed reservoir sample (small bounds array on the driver, never
+    the data). Values are untouched — the oracle is the bare projection;
+    the deliverable is the rangepartitioning Exchange asserted in
+    PLANS.md."""
+    docs = _table(spark, sf_dir, 'documents')
+    return (docs.select('doc_id', 'source', 'n_chars')
+            .repartitionByRange(8, 'source', 'doc_id')
+            .sortWithinPartitions('source', 'doc_id'))
+
+
 def q_events_sessionize(spark, sf_dir) -> DataFrame:
     """inactivity-gap sessionization (30-min gap) + per-session rollup.
     One Exchange on user_id shared by the lag window, the running
@@ -1619,6 +1710,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_range_join': q_events_range_join,
         'events_cube': q_events_cube,
         'doc_length_quantiles': q_doc_length_quantiles,
+        'events_pivot': q_events_pivot,
+        'json_props_extract': q_json_props_extract,
+        'events_rank_battery': q_events_rank_battery,
+        'corpus_diff': q_corpus_diff,
+        'export_sorted': q_export_sorted,
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
         'streaming_sessionize': q_streaming_sessionize,
@@ -2378,6 +2474,60 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.75), 4) AS p75,
                    round(quantile_cont(n_chars, 0.9), 4) AS p90
             FROM documents GROUP BY source""",
+        'events_pivot': """
+            SELECT user_id,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                       AS click_n,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                       AS DOUBLE) AS click_val,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                       AS error_n,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                       THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                       AS DOUBLE) AS error_val,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       AS purchase_n,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                       AS DOUBLE) AS purchase_val,
+                   COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+                       AS signup_n,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                       THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                       AS DOUBLE) AS signup_val,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                       AS view_n,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                       AS DOUBLE) AS view_val
+            FROM events GROUP BY user_id""",
+        'json_props_extract': """
+            SELECT event_id, event_type,
+                   CAST(json_extract(props, '$.k') AS INT) AS k
+            FROM events""",
+        'events_rank_battery': """
+            SELECT event_id, user_id, value,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   ntile(4) OVER w AS quartile,
+                   lag(value, 1) OVER w AS prev_value,
+                   lead(value, 1) OVER w AS next_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY value DESC, event_id ASC)""",
+        'corpus_diff': """
+            WITH a AS (SELECT source, lang FROM documents
+                       WHERE n_chars >= 250),
+                 b AS (SELECT source, lang FROM documents
+                       WHERE lang IN ('en', 'de', 'zh'))
+            SELECT source, lang, 'except_all' AS op
+            FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            UNION ALL
+            SELECT source, lang, 'intersect_all' AS op
+            FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)""",
+        'export_sorted': """
+            SELECT doc_id, source, n_chars FROM documents""",
         'events_sessionize': """
             WITH t AS (
                 SELECT user_id, epoch_us(ts) AS ts_us, value,

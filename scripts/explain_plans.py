@@ -312,6 +312,63 @@ def main() -> int:
     checks.append(('doc_length_quantiles', 'scan pruned to source,n_chars',
                    'ReadSchema: struct<source:string,n_chars:' in dq_plan))
 
+    # 27. explicit-values pivot: pivotfirst aggregate with map-side
+    # partials, and because the value list is pinned there is NO eager
+    # distinct job before the plan — exactly two aggregate Exchanges
+    # ((user,type) pre-agg, then the user-wide pivot)
+    pv_plan = plan_of(entry.q_events_pivot(spark, sf_dir))
+    sections.append(('events_pivot', pv_plan))
+    checks.append(('events_pivot', 'partial pivotfirst aggregation',
+                   'partial_pivotfirst' in pv_plan))
+    checks.append(('events_pivot', 'two aggregate Exchanges, no join',
+                   pv_plan.count(') Exchange') == 2
+                   and 'Join' not in pv_plan))
+
+    # 28. schema-on-read JSON extraction stays JVM-side: from_json inside
+    # whole-stage codegen, no Python worker of any kind, scan pruned to
+    # the three needed columns
+    jp_plan = plan_of(entry.q_json_props_extract(spark, sf_dir))
+    sections.append(('json_props_extract', jp_plan))
+    checks.append(('json_props_extract', 'from_json JVM-side, no Python',
+                   'from_json' in jp_plan
+                   and 'BatchEvalPython' not in jp_plan
+                   and 'ArrowEvalPython' not in jp_plan
+                   and 'MapInArrow' not in jp_plan))
+    checks.append(('json_props_extract', 'scan pruned to 3 columns',
+                   'ReadSchema: struct<event_id:bigint,event_type:string,'
+                   'props:string>' in jp_plan))
+
+    # 29. ranking battery: rank/dense_rank/ntile/lag/lead all fuse into
+    # ONE Window operator over one Sort and one user_id Exchange
+    rb_plan = plan_of(entry.q_events_rank_battery(spark, sf_dir))
+    sections.append(('events_rank_battery', rb_plan))
+    checks.append(('events_rank_battery', 'one Window, one Sort, one '
+                   'Exchange',
+                   rb_plan.count(') Window') == 1
+                   and rb_plan.count(') Sort') == 1
+                   and rb_plan.count(') Exchange') == 1))
+
+    # 30. multiset set-ops: EXCEPT ALL / INTERSECT ALL lower to counted
+    # aggregates + replicaterows — never a join, filters still pushed to
+    # the scans
+    cd_plan = plan_of(entry.q_corpus_diff(spark, sf_dir))
+    sections.append(('corpus_diff', cd_plan))
+    checks.append(('corpus_diff', 'replicaterows aggregate, no join',
+                   'replicaterows' in cd_plan and 'Join' not in cd_plan))
+    checks.append(('corpus_diff', 'gate filters pushed to scan',
+                   'GreaterThanOrEqual(n_chars,250)' in cd_plan
+                   and 'In(lang, [de,en,zh])' in cd_plan))
+
+    # 31. total-order export layout: rangepartitioning Exchange (sampled
+    # bounds) + within-partition sort — globally range-disjoint, sorted
+    # output files
+    es_plan = plan_of(entry.q_export_sorted(spark, sf_dir))
+    sections.append(('export_sorted', es_plan))
+    checks.append(('export_sorted', 'rangepartitioning Exchange + '
+                   'partition-local sort',
+                   'rangepartitioning' in es_plan
+                   and es_plan.count(') Sort') == 1))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:

