@@ -1061,10 +1061,14 @@ def q_events_cube(spark, sf_dir) -> DataFrame:
     is pure integer epoch-micros math (tz-free, twins DuckDB exactly)."""
     events = _table(spark, sf_dir, 'events')
     from pyxml_spark.pipeline.temporal import epoch_us
-    ev = events.select(
-        'event_type',
-        ((epoch_us('ts') / 3600000000).cast('long') % 24).alias('hour'),
-        'value')
+    # integer `div`, not true division: epoch_us/3.6e9 routes the
+    # quotient through a double, which can truncate to the wrong hour
+    # near boundaries once half-ulp at the quotient exceeds 1us
+    ev = (events.select('event_type', 'value',
+                        epoch_us('ts').alias('us'))
+          .select('event_type',
+                  (F.expr('us div 3600000000') % 24).alias('hour'),
+                  'value'))
     return (ev.rollup('event_type', 'hour')
             .agg(F.count('*').alias('n'),
                  F.sum(F.col('value').cast('decimal(18,2)'))
@@ -1128,7 +1132,11 @@ def q_json_props_extract(spark, sf_dir) -> DataFrame:
     pass over the corpus and parsing stays JVM-side inside whole-stage
     codegen (no Python worker anywhere — asserted in PLANS.md). Malformed
     rows degrade to NULL fields (PERMISSIVE mode), never a job failure —
-    the contract a 100-TB semi-structured scan needs."""
+    the contract a 100-TB semi-structured scan needs. The oracle twins
+    that degradation (json_valid + json_type gate + TRY_CAST), so it
+    survives dirty data too; the NULL-for-NULL parity on malformed /
+    quoted / float / overflow / bool / array payloads is pinned by the
+    13-probe differential test in tests/test_olap_ops.py."""
     events = _table(spark, sf_dir, 'events')
     return (events.select(
         'event_id', 'event_type',
@@ -1136,22 +1144,30 @@ def q_json_props_extract(spark, sf_dir) -> DataFrame:
 
 
 def q_events_rank_battery(spark, sf_dir) -> DataFrame:
-    """the ranking-window battery per user — rank / dense_rank (tied
-    doubles exercise the difference), ntile(4), lag/lead — all over ONE
-    (user_id, value DESC, event_id) ordering, so the plan sorts once and
-    shuffles once on user_id (asserted); per-user partitions are bounded
-    by that user's event count, never a whole-table sort."""
+    """the ranking-window battery per user. Two window specs on purpose:
+    rank/dense_rank order by value ALONE, so tied values are true peers
+    (sharing a rank, with/without the gap — the event_id tiebreak of the
+    first cut made every peer group a singleton and rank == row_number,
+    i.e. the rank semantics were never actually exercised); ntile/lag/
+    lead need a total order to be deterministic, so they add the
+    event_id tiebreak. Both specs share the user_id partitioning, and
+    the total-order window is listed FIRST so Spark plans it first and
+    the peers window rides the same sort (its ordering is a prefix) —
+    one Exchange, ONE Sort for both Window operators, asserted; listed
+    the other way round Spark sorts twice. Per-user partitions are
+    bounded by that user's event count, never a whole-table sort."""
     from pyspark.sql.window import Window
     events = _table(spark, sf_dir, 'events')
-    w = Window.partitionBy('user_id').orderBy(
+    w_rank = Window.partitionBy('user_id').orderBy(F.desc('value'))
+    w_row = Window.partitionBy('user_id').orderBy(
         F.desc('value'), F.asc('event_id'))
     return events.select(
         'event_id', 'user_id', 'value',
-        F.rank().over(w).cast('long').alias('rnk'),
-        F.dense_rank().over(w).cast('long').alias('drnk'),
-        F.ntile(4).over(w).cast('long').alias('quartile'),
-        F.lag('value', 1).over(w).alias('prev_value'),
-        F.lead('value', 1).over(w).alias('next_value'))
+        F.ntile(4).over(w_row).cast('long').alias('quartile'),
+        F.lag('value', 1).over(w_row).alias('prev_value'),
+        F.lead('value', 1).over(w_row).alias('next_value'),
+        F.rank().over(w_rank).cast('long').alias('rnk'),
+        F.dense_rank().over(w_rank).cast('long').alias('drnk'))
 
 
 def q_corpus_diff(spark, sf_dir) -> DataFrame:
@@ -1310,6 +1326,45 @@ def q_benchmark_overlap(spark, sf_dir) -> DataFrame:
                     .alias('contaminated')))
 
 
+def _drain_stream_utc(spark, build, sink_name: str,
+                      output_mode: str) -> DataFrame:
+    """The one shared contract-harness drain for streaming rows: pin the
+    session timezone to UTC (parquet ts reads as TIMESTAMP_NTZ and
+    watermarks need an instant; NTZ wall time == the oracle's epoch()
+    interpretation), run ``build(spark)``'s streaming DataFrame into a
+    memory sink with one availableNow micro-batch, and restore the
+    timezone even on failure — a shared contract/bench session must not
+    keep the mutation (CLAUDE.md records a past session-tz bug; keeping
+    this logic in ONE place is the fix for keeping three hand-copies in
+    sync). Callers' final projections must be timezone-independent
+    (epoch casts / unix_micros), because they evaluate lazily after the
+    restore."""
+    tz_key = 'spark.sql.session.timeZone'
+    old_tz = spark.conf.get(tz_key, None)
+    spark.conf.set(tz_key, 'UTC')
+    try:
+        q = (build(spark).writeStream.format('memory')
+             .queryName(sink_name).outputMode(output_mode)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.table(sink_name)
+    finally:
+        if old_tz is not None:
+            spark.conf.set(tz_key, old_tz)
+        else:
+            spark.conf.unset(tz_key)
+    return out
+
+
+def _events_file_stream(spark, sf_dir):
+    """file-stream source over the events table: the source wants a
+    DIRECTORY, so stream the sf dir and glob-filter to one table; the
+    schema comes from a batch read (no streaming inference)."""
+    sch = spark.read.parquet(f'{sf_dir}/events.parquet').schema
+    return (spark.readStream.schema(sch)
+            .option('pathGlobFilter', 'events.parquet').parquet(sf_dir))
+
+
 def q_streaming_rollup(spark, sf_dir) -> DataFrame:
     """driver-visible Structured Streaming query (previously pytest-only):
     readStream over the events parquet -> the production watermarked
@@ -1327,38 +1382,16 @@ def q_streaming_rollup(spark, sf_dir) -> DataFrame:
     (Spark tumbling windows are epoch-aligned) for exact cross-engine
     compare."""
     from pyxml_spark.pipeline.streaming import conversation_rollup_stream
-    # the parquet ts column reads as TIMESTAMP_NTZ; watermarks require an
-    # instant, so pin the session to UTC for the duration of the stream
-    # (restored after — a shared contract/bench session must not keep the
-    # mutation) and cast; NTZ wall time == the oracle's epoch()
-    # interpretation. The final epoch-seconds projection is a
-    # timezone-independent cast, so it is safe to evaluate lazily after
-    # the restore.
-    tz_key = 'spark.sql.session.timeZone'
-    old_tz = spark.conf.get(tz_key, None)
-    spark.conf.set(tz_key, 'UTC')
-    try:
-        # the file-stream source wants a directory: stream the sf dir and
-        # glob-filter to the events table
-        sch = spark.read.parquet(f'{sf_dir}/events.parquet').schema
-        stream = (spark.readStream.schema(sch)
-                  .option('pathGlobFilter', 'events.parquet')
-                  .parquet(sf_dir))
-        turns = stream.select(
+
+    def build(spark):
+        turns = _events_file_stream(spark, sf_dir).select(
             F.col('user_id').cast('string').alias('conv_id'),
             F.col('props').alias('text'),
             F.col('ts').cast('timestamp').alias('ts'))
-        roll = conversation_rollup_stream(turns)
-        name = 'q_streaming_rollup_sink'
-        q = (roll.writeStream.format('memory').queryName(name)
-             .outputMode('complete').trigger(availableNow=True).start())
-        q.awaitTermination()
-        out = spark.table(name)
-    finally:
-        if old_tz is not None:
-            spark.conf.set(tz_key, old_tz)
-        else:
-            spark.conf.unset(tz_key)
+        return conversation_rollup_stream(turns)
+
+    out = _drain_stream_utc(spark, build, 'q_streaming_rollup_sink',
+                            'complete')
     return out.select(
         F.col('window.start').cast('long').alias('win_start'),
         'conv_id',
@@ -1380,27 +1413,15 @@ def q_streaming_sessionize(spark, sf_dir) -> DataFrame:
     gap. At stream scale the session state store is bounded by the
     watermark horizon, never by stream length."""
     from pyxml_spark.pipeline.streaming import session_rollup_stream
-    tz_key = 'spark.sql.session.timeZone'
-    old_tz = spark.conf.get(tz_key, None)
-    spark.conf.set(tz_key, 'UTC')
-    try:
-        sch = spark.read.parquet(f'{sf_dir}/events.parquet').schema
-        stream = (spark.readStream.schema(sch)
-                  .option('pathGlobFilter', 'events.parquet')
-                  .parquet(sf_dir))
-        ev = stream.select('user_id', 'value',
-                           F.col('ts').cast('timestamp').alias('ts'))
-        roll = session_rollup_stream(ev)
-        name = 'q_streaming_sessionize_sink'
-        q = (roll.writeStream.format('memory').queryName(name)
-             .outputMode('complete').trigger(availableNow=True).start())
-        q.awaitTermination()
-        out = spark.table(name)
-    finally:
-        if old_tz is not None:
-            spark.conf.set(tz_key, old_tz)
-        else:
-            spark.conf.unset(tz_key)
+
+    def build(spark):
+        ev = _events_file_stream(spark, sf_dir).select(
+            'user_id', 'value',
+            F.col('ts').cast('timestamp').alias('ts'))
+        return session_rollup_stream(ev)
+
+    out = _drain_stream_utc(spark, build, 'q_streaming_sessionize_sink',
+                            'complete')
     return out.select(
         'user_id',
         F.unix_micros(F.col('session_window.start')).alias('start_us'),
@@ -1453,14 +1474,14 @@ def q_streaming_progress(spark, sf_dir) -> DataFrame:
         F.lit(None).cast('timestamp').alias('ts'))
     tmp = _staging_dir('pyxml_stream_progress_')
     src.repartition(4).write.mode('overwrite').parquet(f'{tmp}/in')
-    stream = read_transcripts_stream(spark, f'{tmp}/in',
-                                     max_files_per_trigger=64)
-    prog = conversation_progress_stream(stream)
-    name = 'q_streaming_progress_sink'
-    q = (prog.writeStream.format('memory').queryName(name)
-         .outputMode('update').trigger(availableNow=True).start())
-    q.awaitTermination()
-    out = spark.table(name)
+
+    def build(spark):
+        stream = read_transcripts_stream(spark, f'{tmp}/in',
+                                         max_files_per_trigger=64)
+        return conversation_progress_stream(stream)
+
+    out = _drain_stream_utc(spark, build, 'q_streaming_progress_sink',
+                            'update')
     return out.select('conv_id',
                       F.col('n_turns').cast('long').alias('n_turns'),
                       F.col('main_chars').cast('long').alias('main_chars'))
@@ -1570,25 +1591,16 @@ def q_streaming_dedup(spark, sf_dir) -> DataFrame:
         src.withColumn('conv_id', F.concat(F.lit('dup-'), 'conv_id')))
     tmp = _staging_dir('pyxml_stream_dedup_')
     src.repartition(8).write.mode('overwrite').parquet(f'{tmp}/in')
-    tz_key = 'spark.sql.session.timeZone'
-    old_tz = spark.conf.get(tz_key, None)
-    spark.conf.set(tz_key, 'UTC')
-    try:
+
+    def build(spark):
         sch = spark.read.parquet(f'{tmp}/in').schema
         stream = (spark.readStream.schema(sch).parquet(f'{tmp}/in')
                   .withColumn('ts', F.col('ts').cast('timestamp')))
-        kept = dedup_stream(stream).select(
+        return dedup_stream(stream).select(
             'fp', F.length('text').cast('long').alias('n_chars'))
-        name = 'q_streaming_dedup_sink'
-        q = (kept.writeStream.format('memory').queryName(name)
-             .outputMode('append').trigger(availableNow=True).start())
-        q.awaitTermination()
-        out = spark.table(name)
-    finally:
-        if old_tz is not None:
-            spark.conf.set(tz_key, old_tz)
-        else:
-            spark.conf.unset(tz_key)
+
+    out = _drain_stream_utc(spark, build, 'q_streaming_dedup_sink',
+                            'append')
     return out.select('fp', 'n_chars')
 
 
@@ -2504,18 +2516,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id""",
         'json_props_extract': """
             SELECT event_id, event_type,
-                   CAST(json_extract(props, '$.k') AS INT) AS k
+                   CASE WHEN json_valid(props)
+                             AND json_type(props, '$.k')
+                                 IN ('BIGINT', 'UBIGINT')
+                        THEN TRY_CAST(json_extract_string(props, '$.k')
+                                      AS INT)
+                   END AS k
             FROM events""",
         'events_rank_battery': """
             SELECT event_id, user_id, value,
-                   rank() OVER w AS rnk,
-                   dense_rank() OVER w AS drnk,
-                   ntile(4) OVER w AS quartile,
-                   lag(value, 1) OVER w AS prev_value,
-                   lead(value, 1) OVER w AS next_value
+                   rank() OVER wr AS rnk,
+                   dense_rank() OVER wr AS drnk,
+                   ntile(4) OVER wo AS quartile,
+                   lag(value, 1) OVER wo AS prev_value,
+                   lead(value, 1) OVER wo AS next_value
             FROM events
-            WINDOW w AS (PARTITION BY user_id
-                         ORDER BY value DESC, event_id ASC)""",
+            WINDOW wr AS (PARTITION BY user_id ORDER BY value DESC),
+                   wo AS (PARTITION BY user_id
+                          ORDER BY value DESC, event_id ASC)""",
         'corpus_diff': """
             WITH a AS (SELECT source, lang FROM documents
                        WHERE n_chars >= 250),

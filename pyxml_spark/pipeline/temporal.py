@@ -45,11 +45,34 @@ RANGE_WINDOW_S = 600
 _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
-def epoch_us(ts_col: str):
+def epoch_us(ts_col):
     """Integer microseconds since epoch for a TIMESTAMP_NTZ column —
     exact (no float), timezone-independent, and bit-identical to DuckDB's
-    ``epoch_us``."""
-    return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH}, {ts_col})")
+    ``epoch_us``. Accepts a column name or a Column expression; the
+    expression is built with the Column-argument API (no SQL string
+    splicing), so names needing quoting and derived expressions both
+    work."""
+    end = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.timestamp_diff('MICROSECOND', F.expr(_EPOCH), end)
+
+
+def range_bucket(us_name: str, window_s: int):
+    """THE bucket-key definition for the bucketed range join: integer
+    ``div`` of an epoch-micros column (by NAME) into window-sized
+    buckets. One shared definition across the operator, its tests, and
+    scripts/temporal_soak.py's intermediate-size model (same rule as
+    dedup's salt_expr) — if the bucketing ever changes, every consumer
+    moves with it."""
+    w_us = int(window_s) * 1_000_000
+    return F.expr(f'{us_name} div {w_us}')
+
+
+def range_probe_buckets(us_name: str, window_s: int):
+    """the matching 2-bucket probe side: a trailing window of width W
+    can only span a row's own W-aligned bucket and the previous one."""
+    w_us = int(window_s) * 1_000_000
+    return F.explode(F.array(F.expr(f'{us_name} div {w_us}'),
+                             F.expr(f'{us_name} div {w_us} - 1')))
 
 
 def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S,
@@ -143,10 +166,9 @@ def range_count_before(events: DataFrame, left_type: str, right_type: str,
     rights = (events.where(F.col(type_col) == right_type)
               .select(entity_col, epoch_us(ts_col).alias('r_ts_us'),
                       F.col(value_col).cast('decimal(18,2)').alias('r_val'))
-              .withColumn('bucket', F.expr(f'r_ts_us div {w_us}')))
+              .withColumn('bucket', range_bucket('r_ts_us', window_s)))
     probes = lefts.withColumn(
-        'bucket', F.explode(F.array(F.expr(f'ts_us div {w_us}'),
-                                    F.expr(f'ts_us div {w_us} - 1'))))
+        'bucket', range_probe_buckets('ts_us', window_s))
     hits = (probes.join(rights, [entity_col, 'bucket'])
             .where((F.col('r_ts_us') > F.col('ts_us') - w_us)
                    & (F.col('r_ts_us') <= F.col('ts_us')))

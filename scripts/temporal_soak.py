@@ -134,16 +134,21 @@ def main(argv=None) -> int:
             F.sum((F.col('event_type') == 'click').cast('long')).alias('c')))
         naive_rows = per_user.agg(
             F.sum(F.col('e') * F.col('c'))).first()[0] or 0
-        from pyxml_spark.pipeline.temporal import epoch_us
+        # the intermediate-size model shares the operator's OWN bucket
+        # definitions (range_bucket / range_probe_buckets) — if the
+        # bucketing changes, this metric moves with the shipped plan
+        # instead of certifying a stale shape
+        from pyxml_spark.pipeline.temporal import (epoch_us, range_bucket,
+                                                   range_probe_buckets)
         rb = (ev.where(F.col('event_type') == 'click')
               .select('user_id', epoch_us('ts').alias('us'))
-              .groupBy('user_id', F.expr(f'us div {w_us}').alias('b'))
+              .groupBy('user_id',
+                       range_bucket('us', RANGE_WINDOW_S).alias('b'))
               .agg(F.count('*').alias('rc')))
         pb = (ev.where(F.col('event_type') == 'error')
               .select('user_id', epoch_us('ts').alias('us'))
-              .select('user_id', F.explode(F.array(
-                  F.expr(f'us div {w_us}'),
-                  F.expr(f'us div {w_us} - 1'))).alias('b'))
+              .select('user_id',
+                      range_probe_buckets('us', RANGE_WINDOW_S).alias('b'))
               .groupBy('user_id', 'b').agg(F.count('*').alias('pc')))
         bucketed_rows = (pb.join(rb, ['user_id', 'b'])
                          .agg(F.sum(F.col('pc') * F.col('rc'))

@@ -53,26 +53,66 @@ def test_pivot_missing_cells_are_dense_zero(spark):
 
 
 def test_rank_battery_tie_semantics(spark):
-    """a planted exact-double tie: rank leaves a gap, dense_rank does
-    not, and the event_id tiebreak makes lag/lead deterministic."""
+    """a planted exact-double tie: over the peers-only window (value
+    alone) rank gives both tied rows 1 and leaves a gap, dense_rank does
+    not; lag over the total-order window (event_id tiebreak) is
+    deterministic. This is the split q_events_rank_battery ships — a
+    single window with the tiebreak would make every peer group a
+    singleton and rank == row_number, never exercising rank semantics."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
     df = spark.createDataFrame(
         [(10, 1, 5.0), (11, 1, 5.0), (12, 1, 3.0)],
         'event_id long, user_id long, value double')
-    w = Window.partitionBy('user_id').orderBy(
+    w_rank = Window.partitionBy('user_id').orderBy(F.desc('value'))
+    w_row = Window.partitionBy('user_id').orderBy(
         F.desc('value'), F.asc('event_id'))
     rows = (df.select('event_id',
-                      F.rank().over(w).alias('rnk'),
-                      F.dense_rank().over(w).alias('drnk'),
-                      F.lag('value', 1).over(w).alias('prev'))
+                      F.rank().over(w_rank).alias('rnk'),
+                      F.dense_rank().over(w_rank).alias('drnk'),
+                      F.lag('value', 1).over(w_row).alias('prev'))
             .orderBy('event_id').collect())
-    # ordering ties on value are broken by event_id, but rank/dense_rank
-    # only consult the ORDER BY expressions' values — Spark ranks over
-    # the full (value, event_id) tuple, so the tiebreak separates them
-    assert [r['rnk'] for r in rows] == [1, 2, 3]
-    assert [r['drnk'] for r in rows] == [1, 2, 3]
+    assert [r['rnk'] for r in rows] == [1, 1, 3]
+    assert [r['drnk'] for r in rows] == [1, 1, 2]
     assert rows[0]['prev'] is None and rows[1]['prev'] == 5.0
+
+
+#: the dirty-JSON gauntlet for json_props_extract: every way a props
+#: payload can fail typed extraction, plus the clean int/negative cases
+_JSON_PROBES = ['{"k": 69}', '{"k": "5"}', '{"k": 5.7}', '{"k": 5.0}',
+                'not json', '{"k": 3000000000}', '{"k": true}',
+                '{"k": null}', '{}', None, '{"k": -12}', '[1, 2]',
+                '{"k": 1e2}']
+
+
+def test_json_extract_dirty_parity_with_oracle(spark):
+    """the PERMISSIVE contract q_json_props_extract advertises, checked
+    where the sf0.01 contract data cannot: Spark from_json('k INT')
+    NULL-degrades on malformed / quoted / float / overflow / bool /
+    array / scientific payloads, and the DuckDB oracle expression
+    (json_valid + json_type gate + TRY_CAST) returns NULL-for-NULL and
+    value-for-value on every probe."""
+    import duckdb
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_JSON_PROBES)],
+        'i long, props string')
+    got = {r['i']: r['k'] for r in df.select(
+        'i', F.from_json('props', 'k INT').getField('k').alias('k'))
+        .collect()}
+    con = duckdb.connect()
+    con.execute('CREATE TABLE t(i BIGINT, props VARCHAR)')
+    con.executemany('INSERT INTO t VALUES (?, ?)',
+                    list(enumerate(_JSON_PROBES)))
+    want = dict(con.sql("""
+        SELECT i, CASE WHEN json_valid(props)
+                            AND json_type(props, '$.k')
+                                IN ('BIGINT', 'UBIGINT')
+                       THEN TRY_CAST(json_extract_string(props, '$.k')
+                                     AS INT) END
+        FROM t""").fetchall())
+    assert got == want
+    assert got[0] == 69 and got[10] == -12 and got[4] is None
 
 
 def test_except_all_keeps_multiplicity(spark):
