@@ -1202,6 +1202,50 @@ def q_export_sorted(spark, sf_dir) -> DataFrame:
             .sortWithinPartitions('source', 'doc_id'))
 
 
+def q_json_lines_source(spark, sf_dir) -> DataFrame:
+    """multi-format source: the events table staged once as JSON lines,
+    read back with an EXPLICIT schema (no sampling/inference pass — at
+    100 TB schema inference is a whole extra scan), rolled up per type.
+    Timestamps are deliberately left out of the staged projection: JSON
+    round-trips them through session-timezone-dependent strings, exactly
+    the kind of silent divergence an ingest contract must exclude.
+    Doubles survive exactly (Jackson shortest-round-trip repr). The
+    oracle runs the same rollup on the parquet twin of the same rows, so
+    the row also proves format-independence of the values."""
+    events = _table(spark, sf_dir, 'events')
+    tmp = _staging_dir('pyxml_json_src_')
+    (events.select('event_id', 'user_id', 'event_type', 'value', 'props')
+     .repartition(4).write.mode('overwrite').json(f'{tmp}/in'))
+    sch = ('event_id long, user_id long, event_type string, '
+           'value double, props string')
+    src = spark.read.schema(sch).json(f'{tmp}/in')
+    return (src.groupBy('event_type')
+            .agg(F.count('*').alias('n'),
+                 F.sum(F.col('value').cast('decimal(18,2)'))
+                 .cast('double').alias('total_value'),
+                 F.sum(F.length('props')).cast('long').alias('props_chars')))
+
+
+def q_partitioned_prune(spark, sf_dir) -> DataFrame:
+    """partitioned-layout sink + pruned read-back: documents written
+    ``partitionBy('lang')`` (the hive-style layout a 100-TB corpus store
+    uses so per-language jobs touch only their slice), then read with a
+    partition-column filter. The filter never reaches row groups — it
+    prunes whole DIRECTORIES at planning time (PartitionFilters on the
+    scan, asserted in PLANS.md), so the query's IO is proportional to
+    the selected partitions, not the corpus. The oracle runs the same
+    aggregate WHERE lang IN (...) on the unpartitioned parquet twin."""
+    docs = _table(spark, sf_dir, 'documents')
+    tmp = _staging_dir('pyxml_part_prune_')
+    (docs.write.mode('overwrite').partitionBy('lang')
+     .parquet(f'{tmp}/docs'))
+    part = spark.read.parquet(f'{tmp}/docs')
+    return (part.where(F.col('lang').isin('en', 'zh'))
+            .groupBy('lang', 'source')
+            .agg(F.count('*').alias('n_docs'),
+                 F.sum('n_chars').alias('total_chars')))
+
+
 def q_events_sessionize(spark, sf_dir) -> DataFrame:
     """inactivity-gap sessionization (30-min gap) + per-session rollup.
     One Exchange on user_id shared by the lag window, the running
@@ -1727,6 +1771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_rank_battery': q_events_rank_battery,
         'corpus_diff': q_corpus_diff,
         'export_sorted': q_export_sorted,
+        'json_lines_source': q_json_lines_source,
+        'partitioned_prune': q_partitioned_prune,
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
         'streaming_sessionize': q_streaming_sessionize,
@@ -2546,6 +2592,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)""",
         'export_sorted': """
             SELECT doc_id, source, n_chars FROM documents""",
+        'json_lines_source': """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_value,
+                   CAST(SUM(length(props)) AS BIGINT) AS props_chars
+            FROM events GROUP BY event_type""",
+        'partitioned_prune': """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents WHERE lang IN ('en', 'zh')
+            GROUP BY lang, source""",
         'events_sessionize': """
             WITH t AS (
                 SELECT user_id, epoch_us(ts) AS ts_us, value,

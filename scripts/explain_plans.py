@@ -371,6 +371,30 @@ def main() -> int:
                    'rangepartitioning' in es_plan
                    and es_plan.count(') Sort') == 1))
 
+    # 32. multi-format source: explicit-schema JSON scan projected to the
+    # three needed fields (no inference pass), one aggregate Exchange
+    js_plan = plan_of(entry.q_json_lines_source(spark, sf_dir))
+    sections.append(('json_lines_source', js_plan))
+    checks.append(('json_lines_source', 'JSON scan pruned to 3 fields',
+                   'Scan json' in js_plan
+                   and 'ReadSchema: struct<event_type:string,'
+                       'value:double,props:string>' in js_plan))
+    checks.append(('json_lines_source', 'single aggregate Exchange',
+                   js_plan.count(') Exchange') == 1))
+
+    # 33. partitioned sink + pruned read-back: the lang filter becomes a
+    # planning-time PartitionFilter (whole directories skipped, zero row
+    # groups of other langs touched) and the scan reads only
+    # (source, n_chars) — text never leaves disk
+    pp_plan = plan_of(entry.q_partitioned_prune(spark, sf_dir))
+    sections.append(('partitioned_prune', pp_plan))
+    checks.append(('partitioned_prune', 'partition-pruned scan',
+                   'PartitionFilters: [lang' in pp_plan
+                   and 'IN (en,zh)' in pp_plan))
+    checks.append(('partitioned_prune', 'scan pruned to source,n_chars',
+                   'ReadSchema: struct<source:string,n_chars:bigint>'
+                   in pp_plan))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:
