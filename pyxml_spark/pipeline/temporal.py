@@ -58,21 +58,25 @@ def epoch_us(ts_col):
 
 def range_bucket(us_name: str, window_s: int):
     """THE bucket-key definition for the bucketed range join: integer
-    ``div`` of an epoch-micros column (by NAME) into window-sized
-    buckets. One shared definition across the operator, its tests, and
-    scripts/temporal_soak.py's intermediate-size model (same rule as
+    ``div`` of an epoch-micros column into window-sized buckets. One
+    shared definition across the operator, scripts/temporal_soak.py's
+    intermediate-size model, and the probe side below (same rule as
     dedup's salt_expr) — if the bucketing ever changes, every consumer
-    moves with it."""
+    moves with it. Takes a column NAME (backtick-quoted, so reserved
+    words and odd characters work), not a Column: Spark exposes exact
+    integer division only as the SQL ``div`` operator, and float time
+    must never enter a bucket key, so the expression is built in SQL
+    rather than Column arithmetic."""
     w_us = int(window_s) * 1_000_000
-    return F.expr(f'{us_name} div {w_us}')
+    return F.expr(f'`{us_name}` div {w_us}')
 
 
 def range_probe_buckets(us_name: str, window_s: int):
-    """the matching 2-bucket probe side: a trailing window of width W
-    can only span a row's own W-aligned bucket and the previous one."""
-    w_us = int(window_s) * 1_000_000
-    return F.explode(F.array(F.expr(f'{us_name} div {w_us}'),
-                             F.expr(f'{us_name} div {w_us} - 1')))
+    """the matching 2-bucket probe side, COMPOSED from range_bucket so
+    the build and probe sides cannot desync: a trailing window of width
+    W can only span a row's own W-aligned bucket and the previous one."""
+    b = range_bucket(us_name, window_s)
+    return F.explode(F.array(b, b - 1))
 
 
 def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S,
