@@ -147,6 +147,43 @@ def test_export_sorted_is_totally_ordered(spark):
     assert all(seq[i][0] <= seq[i + 1][0] for i in range(len(seq) - 1))
 
 
+def test_partition_prune_never_opens_unselected_dirs(spark, tmp_path):
+    """runtime proof of what the PLANS.md PartitionFilters assertion
+    claims statically: after the file index is built, the lang=de
+    directory is DELETED from disk — the partition-filtered query still
+    succeeds (a pruned scan never opens those files, so IO really is
+    proportional to selection), while an unfiltered scan over the same
+    stale index fails on the missing files. (inputFiles() can't show
+    this: it reports the relation's whole index, pre-pruning.)"""
+    import shutil
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(i, ['en', 'de', 'zh'][i % 3], i * 10) for i in range(90)],
+        'doc_id long, lang string, n_chars long')
+    out = str(tmp_path / 'docs')
+    df.write.mode('overwrite').partitionBy('lang').parquet(out)
+    whole = spark.read.parquet(out)  # index lists all three partitions
+    shutil.rmtree(f'{out}/lang=de')
+    picked = whole.where(F.col('lang').isin('en', 'zh'))
+    assert picked.count() == 60
+    with _pytest.raises(Exception):
+        whole.count()  # unpruned scan must actually touch lang=de
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """the HLL++ sketch behind the documented at-scale drop-in for exact
+    COUNT(DISTINCT): mergeable partials, one pass, no shuffle of the
+    distinct values. rsd=0.02 must land within ~3 standard deviations of
+    the true cardinality on a 20k-distinct column."""
+    from pyspark.sql import functions as F
+    n = 20000
+    df = spark.range(n * 2).select((F.col('id') % n).alias('v'))
+    got = df.agg(F.approx_count_distinct('v', rsd=0.02)
+                 .alias('d')).collect()[0]['d']
+    assert abs(got - n) <= 3 * 0.02 * n, got
+
+
 def test_percentile_approx_rank_error_bound(spark):
     """the documented 100-TB drop-in for doc_length_quantiles: the KLL
     percentile_approx at accuracy a guarantees rank error <= n/a. Planted
