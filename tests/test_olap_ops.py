@@ -184,6 +184,41 @@ def test_approx_count_distinct_error_bound(spark):
     assert abs(got - n) <= 3 * 0.02 * n, got
 
 
+def test_export_layout_files_are_range_disjoint(spark, tmp_path):
+    """artifact-level proof of q_export_sorted's claim: after
+    repartitionByRange + sortWithinPartitions, the WRITTEN parquet files
+    carry non-overlapping [min, max] key ranges in their own footers —
+    which is exactly the property min/max (zone-map) pruning needs, read
+    straight from the files rather than from a plan string."""
+    import glob
+    import pyarrow.parquet as pq
+    df = spark.range(0, 5000).select(
+        (F_mod_hash('id')).alias('k'))
+    out = str(tmp_path / 'sorted')
+    (df.repartitionByRange(6, 'k').sortWithinPartitions('k')
+     .write.mode('overwrite').parquet(out))
+    ranges = []
+    for f in glob.glob(f'{out}/*.parquet'):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index('k')
+        lo = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2, 'need multiple files to prove disjointness'
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
+
+
+def F_mod_hash(col):
+    """a deterministic shuffle of range ids so the range partitioner has
+    real work to do (sequential ids would be pre-sorted)."""
+    from pyspark.sql import functions as F
+    return (F.col(col) * 2654435761 % 99991).cast('long')
+
+
 def test_percentile_approx_rank_error_bound(spark):
     """the documented 100-TB drop-in for doc_length_quantiles: the KLL
     percentile_approx at accuracy a guarantees rank error <= n/a. Planted
