@@ -1246,6 +1246,27 @@ def q_partitioned_prune(spark, sf_dir) -> DataFrame:
                  F.sum('n_chars').alias('total_chars')))
 
 
+def q_schema_evolve_union(spark, sf_dir) -> DataFrame:
+    """schema evolution at ingest: two corpus snapshots whose schemas
+    drifted (v2 added lang + a derived quality column and dropped
+    n_chars) merged with unionByName(allowMissingColumns=True) — missing
+    columns NULL-fill per side, names align regardless of position. This
+    is the append-side contract a 100-TB store needs when later shards
+    gain columns; positional unionAll would silently misalign or reject.
+    Plan: a pure Union of two pruned, filter-pushed scans — ZERO
+    shuffles (asserted). Oracle: DuckDB's UNION ALL BY NAME, the same
+    semantics implemented independently."""
+    docs = _table(spark, sf_dir, 'documents')
+    v1 = (docs.where(F.col('doc_id') % 2 == 0)
+          .select('doc_id', 'source', 'n_chars',
+                  F.lit('v1').alias('snap')))
+    v2 = (docs.where(F.col('doc_id') % 2 == 1)
+          .select('doc_id', 'source', 'lang',
+                  F.expr('n_chars div 100').cast('long').alias('quality'),
+                  F.lit('v2').alias('snap')))
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
 def q_events_sessionize(spark, sf_dir) -> DataFrame:
     """inactivity-gap sessionization (30-min gap) + per-session rollup.
     One Exchange on user_id shared by the lag window, the running
@@ -1773,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'export_sorted': q_export_sorted,
         'json_lines_source': q_json_lines_source,
         'partitioned_prune': q_partitioned_prune,
+        'schema_evolve_union': q_schema_evolve_union,
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
         'streaming_sessionize': q_streaming_sessionize,
@@ -2603,6 +2625,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents WHERE lang IN ('en', 'zh')
             GROUP BY lang, source""",
+        'schema_evolve_union': """
+            SELECT doc_id, source, n_chars, 'v1' AS snap
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL BY NAME
+            SELECT doc_id, source, lang,
+                   CAST(n_chars // 100 AS BIGINT) AS quality,
+                   'v2' AS snap
+            FROM documents WHERE doc_id % 2 = 1""",
         'events_sessionize': """
             WITH t AS (
                 SELECT user_id, epoch_us(ts) AS ts_us, value,

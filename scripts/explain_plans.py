@@ -395,6 +395,14 @@ def main() -> int:
                    'ReadSchema: struct<source:string,n_chars:bigint>'
                    in pp_plan))
 
+    # 34. schema-evolution union: a pure Union of two pruned filter-pushed
+    # scans — name-aligned NULL-fill costs ZERO shuffles
+    se_plan = plan_of(entry.q_schema_evolve_union(spark, sf_dir))
+    sections.append(('schema_evolve_union', se_plan))
+    checks.append(('schema_evolve_union', 'Union with zero Exchanges',
+                   ') Union' in se_plan
+                   and se_plan.count(') Exchange') == 0))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:
