@@ -1058,7 +1058,11 @@ def q_events_cube(spark, sf_dir) -> DataFrame:
     with map-side partials, so the multi-level cube costs one shuffle —
     the OLAP answer to "N groupBys + union" (which would scan N times).
     grouping_id() disambiguates subtotal rows from real NULL keys; hour
-    is pure integer epoch-micros math (tz-free, twins DuckDB exactly)."""
+    is pure integer epoch-micros math (tz-free, twins DuckDB exactly).
+    ASSUMES non-negative epochs (verified for all testdata): Spark `div`
+    truncates toward zero while DuckDB `//` floors, so a pre-1970 ts
+    would bucket differently — and a negative real hour would collide
+    with the hour=-1 subtotal sentinel."""
     events = _table(spark, sf_dir, 'events')
     from pyxml_spark.pipeline.temporal import epoch_us
     # integer `div`, not true division: epoch_us/3.6e9 routes the
@@ -1246,6 +1250,34 @@ def q_partitioned_prune(spark, sf_dir) -> DataFrame:
                  F.sum('n_chars').alias('total_chars')))
 
 
+def q_partition_overwrite(spark, sf_dir) -> DataFrame:
+    """the WRITE side of the partitioned store (partitioned_prune covers
+    the read side): idempotent per-partition re-runs via DYNAMIC
+    partition overwrite. A 100-TB corpus store re-runs one language's
+    job after a fix; ``mode('overwrite')`` with
+    ``partitionOverwriteMode=dynamic`` replaces ONLY the directories the
+    new write emits rows for — every other lang's files stay untouched
+    (static overwrite would wipe the whole table first). The option sits
+    on the WRITER, not the session conf, so a shared contract session is
+    never mutated. Here: full write partitionBy('lang'), then the 'en'
+    job re-runs with recomputed n_chars (doubled — a visible change);
+    read-back must equal original rows for other langs + updated rows
+    for en. tests/test_olap_ops.py proves the file-level claim (other
+    partitions' files byte-identical by name+mtime after the re-run)."""
+    docs = _table(spark, sf_dir, 'documents')
+    tmp = _staging_dir('pyxml_part_overwrite_')
+    store = f'{tmp}/docs'
+    (docs.write.mode('overwrite').partitionBy('lang').parquet(store))
+    redo = (docs.where(F.col('lang') == 'en')
+            .withColumn('n_chars', F.col('n_chars') * 2))
+    (redo.write.mode('overwrite')
+     .option('partitionOverwriteMode', 'dynamic')
+     .partitionBy('lang').parquet(store))
+    back = spark.read.parquet(store)
+    return back.select('doc_id', 'lang', 'source',
+                       F.col('n_chars').cast('long').alias('n_chars'))
+
+
 def q_schema_evolve_union(spark, sf_dir) -> DataFrame:
     """schema evolution at ingest: two corpus snapshots whose schemas
     drifted (v2 added lang + a derived quality column and dropped
@@ -1326,6 +1358,17 @@ def q_ordered_turns(spark, sf_dir) -> DataFrame:
     return d.select('doc_id', 'source', 'turn_seq')
 
 
+def _conv_turn_cols(n_convs: int = 50):
+    """THE one doc_id -> (conv_id, turn_idx) mapping for queries that
+    synthesize transcripts from the documents table (turn_context,
+    streaming_progress). Integer ``div``, not float true-division:
+    doc_id/50 routes through a double, which rounds above 2^53 and can
+    land one turn off vs the oracle's exact ``//``. Keeping the rule in
+    one helper stops the float form from creeping back in."""
+    return ((F.col('doc_id') % n_convs).cast('string').alias('conv_id'),
+            F.expr(f'doc_id div {n_convs}').cast('long').alias('turn_idx'))
+
+
 def q_turn_context(spark, sf_dir) -> DataFrame:
     """SFT context construction over transcripts: each turn concatenated
     with its previous 2 turns of the same conversation (bounded ROWS
@@ -1336,17 +1379,47 @@ def q_turn_context(spark, sf_dir) -> DataFrame:
     instead. Documents stand in as 50 conversations x 10 turns."""
     from pyspark.sql.window import Window
     docs = _table(spark, sf_dir, 'documents')
-    t = docs.select(
-        (F.col('doc_id') % 50).cast('string').alias('conv_id'),
-        # integer `div`, not floor(double /): double division rounds above
-        # 2^53 and floor() can land one off vs the oracle's exact `//`
-        F.expr('doc_id div 50').cast('long').alias('turn_idx'),
-        'text')
+    conv_c, turn_c = _conv_turn_cols()
+    t = docs.select(conv_c, turn_c, 'text')
     w = (Window.partitionBy('conv_id').orderBy('turn_idx')
          .rowsBetween(-2, Window.currentRow))
     ctx = F.concat_ws('\n', F.collect_list('text').over(w))
     return t.select('conv_id', 'turn_idx', ctx.alias('context'),
                     F.length(ctx).cast('long').alias('n_context_chars'))
+
+
+def q_curate_pipeline(spark, sf_dir) -> DataFrame:
+    """the composed curation job (jobs/curate.py) as ONE driver-checkable
+    row: gates (quality shape + lang + repetition — the exact
+    ``is_quality & lang=='en' & rep_x10k<=REP_MAX_X10K`` predicate the
+    spark-submit job applies, via the same pipeline/curate.py
+    score_documents face) -> decontaminate against the doc_id%50==0 eval
+    slice -> sequence-pack the survivors with the chunked prefix scan.
+    This is the job's chain minus the MinHash dedup stage (separately
+    pinned by dedup_minhash_pairs/dedup_keeper, and its keeper choice is
+    engine-dependent so it would break the closed form). Each stage
+    already has a closed-form oracle; the SQL twin composes them as
+    CTEs, so the driver now pins the STAGE COMPOSITION, not just the
+    stages."""
+    from pyxml_spark.pipeline.curate import (REP_MAX_X10K, decontaminate,
+                                             score_documents)
+    from pyxml_spark.pipeline.prefix import running_sum_before
+    docs = _table(spark, sf_dir, 'documents')
+    corpus = docs.where(F.col('doc_id') % 50 != 0) \
+        .select('doc_id', 'source', 'text')
+    bench = docs.where(F.col('doc_id') % 50 == 0).select('text')
+    scored = score_documents(corpus)
+    gated = scored.where(F.col('is_quality') & (F.col('lang') == 'en')
+                         & (F.col('rep_x10k') <= REP_MAX_X10K))
+    deco = decontaminate(gated, bench)
+    clean = gated.join(deco.where(~F.col('contaminated'))
+                       .select('doc_id'), 'doc_id')
+    d = running_sum_before(clean.select('doc_id', 'source', 'n_tokens'),
+                           'source', 'doc_id', 'n_tokens',
+                           'tokens_before')
+    return d.select('doc_id', 'source', 'n_tokens', 'tokens_before',
+                    F.floor(F.col('tokens_before') / 512).cast('long')
+                    .alias('pack_id'))
 
 
 def q_benchmark_overlap(spark, sf_dir) -> DataFrame:
@@ -1407,6 +1480,7 @@ def _drain_stream_utc(spark, build, sink_name: str,
     tz_key = 'spark.sql.session.timeZone'
     old_tz = spark.conf.get(tz_key, None)
     spark.conf.set(tz_key, 'UTC')
+    q = None
     try:
         q = (build(spark).writeStream.format('memory')
              .queryName(sink_name).outputMode(output_mode)
@@ -1414,6 +1488,10 @@ def _drain_stream_utc(spark, build, sink_name: str,
         q.awaitTermination()
         out = spark.table(sink_name)
     finally:
+        # a failed/hung drain must not leave the query running and
+        # squatting on the memory-sink name for the next caller
+        if q is not None and q.isActive:
+            q.stop()
         if old_tz is not None:
             spark.conf.set(tz_key, old_tz)
         else:
@@ -1530,9 +1608,10 @@ def q_streaming_progress(spark, sf_dir) -> DataFrame:
     from pyxml_spark.pipeline.streaming import (conversation_progress_stream,
                                                 read_transcripts_stream)
     docs = _table(spark, sf_dir, 'documents')
+    conv_c, turn_c = _conv_turn_cols()
     src = docs.select(
-        (F.col('doc_id') % 50).cast('string').alias('conv_id'),
-        (F.col('doc_id') / 50).cast('int').alias('turn_idx'),
+        conv_c,
+        turn_c.cast('int').alias('turn_idx'),
         F.lit('user').alias('role'),
         F.col('text'),
         F.lit('').alias('tool'),
@@ -1733,19 +1812,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ §2-F pipeline
-    and training-data ops)."""
+    and training-data ops).
+
+    ORDERING IS DELIBERATE (driver-coverage rotation): the driver's
+    correctness artifact caps at the first ~50 entries in iteration
+    order, so rows are sorted by how stale their driver evidence is —
+    (1) rows with no driver artifact yet (the 16 r4 adds + this round's
+    new rows), (2) rows last driver-checked in r3, (3) r4-checked rows,
+    complex kernels first. Rows pushed past the window were all green in
+    the immediately-previous artifact, so every row has a driver row at
+    most two rounds old. Rotate again whenever rows are added."""
     return {
+        # --- (1) never driver-checked: the 16 r4 adds ... ---
+        'events_cube': q_events_cube,
+        'doc_length_quantiles': q_doc_length_quantiles,
+        'events_pivot': q_events_pivot,
+        'json_props_extract': q_json_props_extract,
+        'events_rank_battery': q_events_rank_battery,
+        'corpus_diff': q_corpus_diff,
+        'export_sorted': q_export_sorted,
+        'json_lines_source': q_json_lines_source,
+        'partitioned_prune': q_partitioned_prune,
+        'schema_evolve_union': q_schema_evolve_union,
+        'streaming_sessionize': q_streaming_sessionize,
+        'streaming_dedup': q_streaming_dedup,
+        'media_resize': q_media_resize,
+        'media_frames': q_media_frames,
+        'subword_count': q_subword_count,
+        'turn_context': q_turn_context,
+        # --- ... plus this round's new rows ---
+        'partition_overwrite': q_partition_overwrite,
+        'curate_pipeline': q_curate_pipeline,
+        # --- (2) last driver-checked in r3 ---
+        'ordered_turns': q_ordered_turns,
+        'streaming_rollup': q_streaming_rollup,
+        'streaming_extract': q_streaming_extract,
+        'streaming_progress': q_streaming_progress,
+        'media_features': q_media_features,
+        'benchmark_overlap': q_benchmark_overlap,
+        # --- (3) r4-checked; complex kernel/pipeline rows first ---
         'extract_documents': q_extract_documents,
         'extract_html_wrapped': q_extract_html_wrapped,
         'extract_dirty': q_extract_dirty,
+        'extract_spans': q_extract_spans,
         'xpath_count': q_xpath_count,
         'xpath_attr_extract': q_xpath_attr_extract,
         'xpath_functions': q_xpath_functions,
-        'extract_spans': q_extract_spans,
         'node_table_stats': q_node_table_stats,
         'serialize_roundtrip': q_serialize_roundtrip,
         'pdf_layout_extract': q_pdf_layout_extract,
         'pdf_blocks_stats': q_pdf_blocks_stats,
+        'minhash_band': q_minhash_band,
+        'dedup_minhash_pairs': q_dedup_minhash_pairs,
+        'dedup_keeper': q_dedup_keeper,
+        'ann_lsh_topk': q_ann_lsh_topk,
+        'ann_batch_topk': q_ann_batch_topk,
+        'ann_ivf_topk': q_ann_ivf_topk,
+        'simsearch_topk': q_simsearch_topk,
+        'events_sessionize': q_events_sessionize,
+        'events_asof_join': q_events_asof_join,
+        'events_range_join': q_events_range_join,
+        'sequence_pack': q_sequence_pack,
+        'conversation_assemble': q_conversation_assemble,
+        'mixture_sample': q_mixture_sample,
+        'tfidf_top_terms': q_tfidf_top_terms,
+        'gopher_repetition': q_gopher_repetition,
+        # --- r4-checked, simpler relational/scalar rows (past the
+        #     driver window this round; re-covered next rotation) ---
         'escape_attrib': q_escape_attrib,
         'escape_unescape_identity': q_escape_unescape_identity,
         'agg_by_source': q_agg_by_source,
@@ -1757,56 +1890,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lang_id': q_lang_id,
         'source_boilerplate_strip': q_source_boilerplate_strip,
         'pii_scrub': q_pii_scrub,
-        'gopher_repetition': q_gopher_repetition,
         'gopher_ngram_fractions': q_gopher_ngram_fractions,
         'dataset_split': q_dataset_split,
-        'mixture_sample': q_mixture_sample,
-        'tfidf_top_terms': q_tfidf_top_terms,
-        'conversation_assemble': q_conversation_assemble,
-        'sequence_pack': q_sequence_pack,
         'fingerprint_shingle': q_fingerprint_shingle,
         'fingerprint_rolling': q_fingerprint_rolling,
-        'minhash_band': q_minhash_band,
-        'dedup_minhash_pairs': q_dedup_minhash_pairs,
-        'dedup_keeper': q_dedup_keeper,
         'ngram_jaccard_pairs': q_ngram_jaccard_pairs,
         'simhash16': q_simhash16,
         'embedding_near_dup': q_embedding_near_dup,
-        'simsearch_topk': q_simsearch_topk,
-        'ann_lsh_topk': q_ann_lsh_topk,
-        'ann_batch_topk': q_ann_batch_topk,
-        'ann_ivf_topk': q_ann_ivf_topk,
         'ann_kmeans_topk': q_ann_kmeans_topk,
         'join_rollup': q_join_rollup,
         'region_revenue': q_region_revenue,
         'part_brand_stats': q_part_brand_stats,
         'supplier_nation': q_supplier_nation,
         'events_rollup': q_events_rollup,
-        'events_sessionize': q_events_sessionize,
-        'events_asof_join': q_events_asof_join,
-        'events_range_join': q_events_range_join,
-        'events_cube': q_events_cube,
-        'doc_length_quantiles': q_doc_length_quantiles,
-        'events_pivot': q_events_pivot,
-        'json_props_extract': q_json_props_extract,
-        'events_rank_battery': q_events_rank_battery,
-        'corpus_diff': q_corpus_diff,
-        'export_sorted': q_export_sorted,
-        'json_lines_source': q_json_lines_source,
-        'partitioned_prune': q_partitioned_prune,
-        'schema_evolve_union': q_schema_evolve_union,
-        'ordered_turns': q_ordered_turns,
-        'streaming_rollup': q_streaming_rollup,
-        'streaming_sessionize': q_streaming_sessionize,
-        'streaming_extract': q_streaming_extract,
-        'streaming_progress': q_streaming_progress,
-        'media_features': q_media_features,
-        'benchmark_overlap': q_benchmark_overlap,
-        'streaming_dedup': q_streaming_dedup,
-        'media_resize': q_media_resize,
-        'media_frames': q_media_frames,
-        'subword_count': q_subword_count,
-        'turn_context': q_turn_context,
     }
 
 
@@ -2785,6 +2881,115 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR),
                    'ValueError: empty media payload'
             FROM m WHERE nb = 0""",
+        'partition_overwrite': """
+            SELECT doc_id, lang, source,
+                   CAST(CASE WHEN lang = 'en' THEN n_chars * 2
+                        ELSE n_chars END AS BIGINT) AS n_chars
+            FROM documents""",
+        'curate_pipeline': """
+            WITH t AS (SELECT doc_id, source, text,
+                              CAST(CASE WHEN trim(text) = '' THEN 0
+                                   ELSE array_length(regexp_split_to_array(
+                                       trim(text), '\\s+')) END AS BIGINT)
+                                  AS n_tokens,
+                              CAST(length(regexp_replace(text, '\\s+', '',
+                                                         'g')) AS BIGINT)
+                                  AS chars_ns
+                       FROM documents WHERE doc_id % 50 <> 0),
+                 lang AS (
+                    SELECT doc_id,
+                           (CASE WHEN position(' the ' IN ' ' || text || ' ')
+                                      > 0 THEN 1 ELSE 0 END
+                            + CASE WHEN position(' and ' IN ' ' || text ||
+                                   ' ') > 0 THEN 1 ELSE 0 END
+                            + CASE WHEN position(' of ' IN ' ' || text ||
+                                   ' ') > 0 THEN 1 ELSE 0 END
+                            + CASE WHEN position(' to ' IN ' ' || text ||
+                                   ' ') > 0 THEN 1 ELSE 0 END
+                            + CASE WHEN position(' in ' IN ' ' || text ||
+                                   ' ') > 0 THEN 1 ELSE 0 END)::BIGINT
+                               AS en_hits,
+                           (CAST((length(text)
+                                  - length(replace(text, 'the', ''))) / 3
+                                 AS BIGINT)
+                            + CAST((length(text)
+                                    - length(replace(text, 'ing', ''))) / 3
+                                   AS BIGINT)
+                            + CAST((length(text)
+                                    - length(replace(text, 'ent', ''))) / 3
+                                   AS BIGINT)
+                            + CAST((length(text)
+                                    - length(replace(text, 'ion', ''))) / 3
+                                   AS BIGINT)
+                            + CAST((length(text)
+                                    - length(replace(text, 'and', ''))) / 3
+                                   AS BIGINT)) AS tri_hits
+                    FROM documents WHERE doc_id % 50 <> 0),
+                 rep AS (
+                    SELECT doc_id,
+                           CAST(CASE WHEN len(bg) <= 0 THEN 0
+                                ELSE floor(coalesce(list_max(list_transform(
+                                         list_distinct(bg),
+                                         x -> len(list_filter(bg,
+                                                  e -> e = x)))), 0)
+                                     * 10000.0 / len(bg)) END AS BIGINT)
+                               AS rep_x10k
+                    FROM (SELECT doc_id,
+                                 CASE WHEN len(ws) >= 2 THEN
+                                     list_transform(generate_series(1,
+                                         len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i + 1])
+                                 ELSE [] END AS bg
+                          FROM (SELECT doc_id,
+                                       regexp_split_to_array(trim(text),
+                                                             '\\s+') AS ws
+                                FROM documents
+                                WHERE doc_id % 50 <> 0))),
+                 gate AS (
+                    SELECT t.doc_id, t.source, t.text, t.n_tokens
+                    FROM t JOIN lang USING (doc_id) JOIN rep USING (doc_id)
+                    WHERE t.n_tokens >= 5 AND t.n_tokens <= 500
+                      AND t.chars_ns >= 3 * t.n_tokens
+                      AND t.chars_ns <= 12 * t.n_tokens
+                      AND (lang.en_hits >= 2 OR lang.tri_hits >= 3)
+                      AND rep.rep_x10k <= 2000),
+                 g0 AS (SELECT doc_id,
+                               unnest(CASE WHEN len(ws) >= 8 THEN
+                                   list_transform(
+                                       generate_series(1, len(ws) - 7),
+                                       i -> CAST('0x' || substr(md5(
+                                           array_to_string(ws[i:i+7], ' ')),
+                                           1, 15) AS BIGINT))
+                                   ELSE [] END) AS g
+                        FROM (SELECT doc_id,
+                                     regexp_split_to_array(trim(text),
+                                                           '\\s+') AS ws
+                              FROM gate WHERE trim(text) <> '')),
+                 b AS (SELECT DISTINCT
+                              unnest(CASE WHEN len(ws) >= 8 THEN
+                                  list_transform(
+                                      generate_series(1, len(ws) - 7),
+                                      i -> CAST('0x' || substr(md5(
+                                          array_to_string(ws[i:i+7], ' ')),
+                                          1, 15) AS BIGINT))
+                                  ELSE [] END) AS g
+                       FROM (SELECT regexp_split_to_array(trim(text),
+                                                          '\\s+') AS ws
+                             FROM documents
+                             WHERE doc_id % 50 = 0 AND trim(text) <> '')),
+                 bad AS (SELECT DISTINCT doc_id FROM g0 JOIN b USING (g)),
+                 clean AS (SELECT doc_id, source, n_tokens FROM gate
+                           WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+                 c AS (SELECT doc_id, source, n_tokens,
+                              SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+                                  AS tokens_before
+                       FROM clean)
+            SELECT doc_id, source, n_tokens,
+                   CAST(tokens_before AS BIGINT) AS tokens_before,
+                   CAST(floor(tokens_before / 512.0) AS BIGINT) AS pack_id
+            FROM c""",
         'benchmark_overlap': """
             WITH w AS (SELECT doc_id,
                               regexp_split_to_array(trim(text), '\\s+') AS ws

@@ -98,11 +98,22 @@ def score_documents(df: DataFrame, id_col: str = 'doc_id',
 
 def decontaminate(df: DataFrame, bench_df: DataFrame,
                   id_col: str = 'doc_id', text_col: str = 'text',
-                  bench_text_col: str = 'text', k: int = 8) -> DataFrame:
+                  bench_text_col: str = 'text', k: int = 8,
+                  broadcast: bool = True) -> DataFrame:
     """(id, n_gram_hits, contaminated): docs sharing any exact k-token
     gram with the benchmark corpus. Grams are 60-bit md5 hashes; the
-    benchmark gram set is distinct-small and broadcasts into the corpus
-    gram join (q_benchmark_overlap's shape — never corpus x corpus)."""
+    benchmark gram set broadcasts into the corpus gram join
+    (q_benchmark_overlap's shape — never corpus x corpus).
+
+    SMALL-SIDE CONTRACT (same style as pipeline/temporal.py): ``bench_df``
+    must be an eval/benchmark suite — thousands to low millions of
+    distinct k-gram hashes (8 bytes each), i.e. MBs, not a corpus slice.
+    The forced broadcast hint exists because the planner's size estimate
+    for the exploded+distinct gram relation is unreliable; it would OOM
+    the driver if handed a corpus-scale bench_df. For an untrusted or
+    possibly-large benchmark set pass ``broadcast=False`` — the join
+    falls back to AQE's own strategy choice (shuffle join unless its
+    runtime size estimate qualifies the bench side), identical output."""
     def gram_rows(d: DataFrame, textc: str, gid_col=None) -> DataFrame:
         head = [F.col(gid_col).alias('_gid')] if gid_col else []
         keep = [F.col('_gid')] if gid_col else []
@@ -121,7 +132,8 @@ def decontaminate(df: DataFrame, bench_df: DataFrame,
     # gram_rows' gid-less branch is already a distinct single 'g' column
     bench = gram_rows(bench_df, bench_text_col)
     corpus = gram_rows(df, text_col, gid_col=id_col)
-    hits = (corpus.join(F.broadcast(bench), 'g')
+    bench_side = F.broadcast(bench) if broadcast else bench
+    hits = (corpus.join(bench_side, 'g')
             .groupBy('_gid').agg(F.count('*').alias('n_gram_hits')))
     out = df.select(F.col(id_col)).join(
         hits.withColumnRenamed('_gid', id_col), id_col, 'left')

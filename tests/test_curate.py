@@ -56,6 +56,11 @@ def test_decontaminate_planted_overlap(spark):
     assert got[0].contaminated and got[2].contaminated
     assert not got[1].contaminated
     assert got[1].n_gram_hits == 0
+    # broadcast=False (the large-bench escape hatch) is plan-only:
+    # identical rows, and the plan carries no forced broadcast hint
+    no_bc = decontaminate(df, bdf, broadcast=False)
+    assert {tuple(r) for r in no_bc.collect()} == \
+        {tuple(r) for r in got.values()}
 
 
 def test_curate_job_end_to_end(tmp_path):

@@ -171,6 +171,51 @@ def test_partition_prune_never_opens_unselected_dirs(spark, tmp_path):
         whole.count()  # unpruned scan must actually touch lang=de
 
 
+def test_dynamic_partition_overwrite_leaves_others_untouched(spark,
+                                                             tmp_path):
+    """file-level proof for q_partition_overwrite's claim: re-running one
+    partition's job under partitionOverwriteMode=dynamic replaces ONLY
+    that directory — other partitions keep the exact same files
+    (names + mtimes + sizes), so per-partition re-runs are idempotent
+    and safe to run concurrently with readers of other partitions. The
+    contrast case: static overwrite (the default) wipes the whole table,
+    which is the failure mode the option exists to prevent."""
+    import glob
+
+    def snap(d):
+        return {f: (os.path.getmtime(f), os.path.getsize(f))
+                for f in glob.glob(f'{d}/**/*.parquet', recursive=True)}
+
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(i, ['en', 'de', 'zh'][i % 3], i * 10) for i in range(90)],
+        'doc_id long, lang string, n_chars long')
+    out = str(tmp_path / 'docs')
+    df.write.mode('overwrite').partitionBy('lang').parquet(out)
+    before_others = {k: v for k, v in snap(out).items()
+                     if '/lang=en/' not in k}
+    redo = (df.where(F.col('lang') == 'en')
+            .withColumn('n_chars', F.col('n_chars') * 2))
+    (redo.write.mode('overwrite')
+     .option('partitionOverwriteMode', 'dynamic')
+     .partitionBy('lang').parquet(out))
+    after = snap(out)
+    after_others = {k: v for k, v in after.items()
+                    if '/lang=en/' not in k}
+    assert after_others == before_others  # byte-for-byte same files
+    back = spark.read.parquet(out)
+    assert back.count() == 90
+    assert back.where("lang = 'en'").agg(
+        F.sum('n_chars')).collect()[0][0] == \
+        sum(i * 20 for i in range(90) if i % 3 == 0)
+    # contrast: static overwrite replaces the WHOLE table
+    (redo.write.mode('overwrite')
+     .option('partitionOverwriteMode', 'static')
+     .partitionBy('lang').parquet(out))
+    assert spark.read.parquet(out).count() == 30
+    assert not glob.glob(f'{out}/lang=de/*.parquet')
+
+
 def test_approx_count_distinct_error_bound(spark):
     """the HLL++ sketch behind the documented at-scale drop-in for exact
     COUNT(DISTINCT): mergeable partials, one pass, no shuffle of the
@@ -209,7 +254,9 @@ def test_export_layout_files_are_range_disjoint(spark, tmp_path):
     ranges.sort()
     assert len(ranges) >= 2, 'need multiple files to prove disjointness'
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
-        assert hi1 <= lo2, (ranges,)
+        # STRICT: rangepartitioning keeps equal keys in one partition, so
+        # hi1 == lo2 would mean a key straddles two files — not disjoint
+        assert hi1 < lo2, (ranges,)
 
 
 def F_mod_hash(col):
