@@ -1278,6 +1278,36 @@ def q_partition_overwrite(spark, sf_dir) -> DataFrame:
                        F.col('n_chars').cast('long').alias('n_chars'))
 
 
+def q_bucketed_join(spark, sf_dir) -> DataFrame:
+    """shuffle-free co-located join via bucketBy: documents and a derived
+    per-doc stats table are both written bucketed (and sorted) by doc_id
+    with the SAME bucket count, so the join needs NO shuffle Exchange on
+    either side — Spark's bucketing metadata proves co-location and the
+    sort order feeds SortMergeJoin directly (asserted in PLANS.md with
+    broadcast disabled). At 100 TB this is THE recurring-join answer:
+    pay the layout shuffle once at write time, then every downstream
+    fact-fact join on the bucket key is Exchange-free. Tables are
+    EXTERNAL (explicit path under the staging dir) so the shared session
+    catalog entry never owns repo-local warehouse files."""
+    docs = _table(spark, sf_dir, 'documents')
+    tmp = _staging_dir('pyxml_bucketed_')
+    spark.sql('DROP TABLE IF EXISTS bj_docs')
+    spark.sql('DROP TABLE IF EXISTS bj_stats')
+    (docs.select('doc_id', 'source', 'n_chars')
+     .write.mode('overwrite').bucketBy(8, 'doc_id').sortBy('doc_id')
+     .option('path', f'{tmp}/docs').saveAsTable('bj_docs'))
+    trimmed = F.trim(F.col('text'))
+    n_tokens = F.when(trimmed == '', F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r'\s+'))).cast('long')
+    (docs.select('doc_id', n_tokens.alias('n_tokens'))
+     .write.mode('overwrite').bucketBy(8, 'doc_id').sortBy('doc_id')
+     .option('path', f'{tmp}/stats').saveAsTable('bj_stats'))
+    j = spark.table('bj_docs').join(spark.table('bj_stats'), 'doc_id')
+    return j.select('doc_id', 'source',
+                    F.col('n_chars').cast('long').alias('n_chars'),
+                    'n_tokens')
+
+
 def q_schema_evolve_union(spark, sf_dir) -> DataFrame:
     """schema evolution at ingest: two corpus snapshots whose schemas
     drifted (v2 added lang + a derived quality column and dropped
@@ -1400,7 +1430,15 @@ def q_curate_pipeline(spark, sf_dir) -> DataFrame:
     engine-dependent so it would break the closed form). Each stage
     already has a closed-form oracle; the SQL twin composes them as
     CTEs, so the driver now pins the STAGE COMPOSITION, not just the
-    stages."""
+    stages.
+
+    Stage outputs are STAGED TO PARQUET exactly as the job does —
+    composing everything into one lazy plan re-evaluates the gate+rep
+    subtree ~4x (decontaminate references ``gated``, the prefix scan
+    references ``clean`` twice for its broadcast stats), which at 100 TB
+    means scanning the corpus four times instead of once per stage. The
+    stage boundary is the recompute firewall, same reason the job
+    commits gated.parquet."""
     from pyxml_spark.pipeline.curate import (REP_MAX_X10K, decontaminate,
                                              score_documents)
     from pyxml_spark.pipeline.prefix import running_sum_before
@@ -1408,14 +1446,19 @@ def q_curate_pipeline(spark, sf_dir) -> DataFrame:
     corpus = docs.where(F.col('doc_id') % 50 != 0) \
         .select('doc_id', 'source', 'text')
     bench = docs.where(F.col('doc_id') % 50 == 0).select('text')
+    tmp = _staging_dir('pyxml_curate_pipe_')
     scored = score_documents(corpus)
-    gated = scored.where(F.col('is_quality') & (F.col('lang') == 'en')
-                         & (F.col('rep_x10k') <= REP_MAX_X10K))
+    (scored.where(F.col('is_quality') & (F.col('lang') == 'en')
+                  & (F.col('rep_x10k') <= REP_MAX_X10K))
+     .write.mode('overwrite').parquet(f'{tmp}/gated'))
+    gated = spark.read.parquet(f'{tmp}/gated')
     deco = decontaminate(gated, bench)
-    clean = gated.join(deco.where(~F.col('contaminated'))
-                       .select('doc_id'), 'doc_id')
-    d = running_sum_before(clean.select('doc_id', 'source', 'n_tokens'),
-                           'source', 'doc_id', 'n_tokens',
+    (gated.join(deco.where(~F.col('contaminated')).select('doc_id'),
+                'doc_id')
+     .select('doc_id', 'source', 'n_tokens')
+     .write.mode('overwrite').parquet(f'{tmp}/clean'))
+    clean = spark.read.parquet(f'{tmp}/clean')
+    d = running_sum_before(clean, 'source', 'doc_id', 'n_tokens',
                            'tokens_before')
     return d.select('doc_id', 'source', 'n_tokens', 'tokens_before',
                     F.floor(F.col('tokens_before') / 512).cast('long')
@@ -1843,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ... plus this round's new rows ---
         'partition_overwrite': q_partition_overwrite,
         'curate_pipeline': q_curate_pipeline,
+        'bucketed_join': q_bucketed_join,
         # --- (2) last driver-checked in r3 ---
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
@@ -2881,6 +2925,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR),
                    'ValueError: empty media payload'
             FROM m WHERE nb = 0""",
+        'bucketed_join': """
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(regexp_split_to_array(
+                            trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+            FROM documents""",
         'partition_overwrite': """
             SELECT doc_id, lang, source,
                    CAST(CASE WHEN lang = 'en' THEN n_chars * 2

@@ -403,6 +403,56 @@ def main() -> int:
                    ') Union' in se_plan
                    and se_plan.count(') Exchange') == 0))
 
+    # bucketed co-located join: with broadcast disabled, the bucket
+    # metadata must carry the co-partitioning — SortMergeJoin with ZERO
+    # shuffle Exchanges (the pay-once-at-write layout contract). The
+    # bucketed scans report SelectedBucketsCount.
+    old_thresh = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+    old_aqe = spark.conf.get('spark.sql.adaptive.enabled')
+    spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+    spark.conf.set('spark.sql.adaptive.enabled', 'false')
+    try:
+        bj_plan = plan_of(entry.q_bucketed_join(spark, sf_dir))
+    finally:
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', old_thresh)
+        spark.conf.set('spark.sql.adaptive.enabled', old_aqe)
+    sections.append(('bucketed_join', bj_plan))
+    checks.append(('bucketed_join',
+                   'SortMergeJoin over bucketed scans, zero Exchanges',
+                   'SortMergeJoin' in bj_plan
+                   and 'SelectedBucketsCount' in bj_plan
+                   and bj_plan.count(') Exchange') == 0))
+
+    # curation decontaminate stage: the gram join must broadcast the
+    # benchmark side and never go corpus x corpus (checked on the
+    # operator itself — in q_curate_pipeline this stage sits behind a
+    # parquet stage boundary, so the final row's plan can't show it)
+    from pyxml_spark.pipeline.curate import decontaminate
+    dc = decontaminate(docs.where(F.col('doc_id') % 50 != 0),
+                       docs.where(F.col('doc_id') % 50 == 0))
+    dc_plan = plan_of(dc)
+    sections.append(('curate_decontaminate', dc_plan))
+    checks.append(('curate_decontaminate',
+                   'benchmark side broadcast, no cartesian',
+                   'BroadcastHashJoin' in dc_plan
+                   and 'CartesianProduct' not in dc_plan
+                   and 'BroadcastNestedLoopJoin' not in dc_plan))
+
+    # composed curation row: after staging, the only non-equi join left
+    # is the prefix scan's documented ONE-ROW broadcast stats join —
+    # cross with a 1-row side, not a data-x-data cartesian
+    import re as _re
+    cp_plan = plan_of(entry.q_curate_pipeline(spark, sf_dir))
+    sections.append(('curate_pipeline', cp_plan))
+    # formatted explain prints each operator twice (tree + details);
+    # count distinct operator ids, and the only BNLJs allowed are the
+    # prefix scan's two 1-row stats broadcasts
+    n_bnlj = len(_re.findall(r'^\(\d+\) BroadcastNestedLoopJoin',
+                             cp_plan, _re.M))
+    checks.append(('curate_pipeline',
+                   'staged stages; no cartesian (1-row stats BNLJ only)',
+                   'CartesianProduct' not in cp_plan and n_bnlj <= 2))
+
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')
     with open(out, 'w') as f:

@@ -39,6 +39,61 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_stream_kill_and_resume_exactly_once(spark, tmp_path):
+    """the streaming checkpoint contract under failure: a file-sink
+    stream killed MID-RUN (after >=1 committed micro-batch, before the
+    input is drained) and restarted from the same checkpoint produces
+    exactly-once output — no lost rows, no duplicated rows, row-identical
+    to the batch path. The parquet sink's _spark_metadata transaction log
+    is what makes the partially-written run safe: uncommitted files are
+    invisible to readers and the restart re-plans from the last committed
+    source offset. (Single-batch availableNow drains elsewhere never
+    exercise the mid-stream restart; this is the crash/recovery twin of
+    the batch resume test.)"""
+    import time
+
+    from pyxml_spark.pipeline import (TRANSCRIPTS_SCHEMA, extract_turns,
+                                      gen_transcripts_pdf)
+    from pyxml_spark.pipeline.streaming import (extract_stream,
+                                                read_transcripts_stream,
+                                                run_file_stream)
+
+    pdf = gen_transcripts_pdf(1200, seed=11)
+    inp = os.path.join(tmp_path, 'in')
+    out = os.path.join(tmp_path, 'out')
+    ckpt = os.path.join(tmp_path, 'ckpt')
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    df.repartition(12).write.parquet(inp)  # 12 files -> 12 micro-batches
+
+    src = read_transcripts_stream(spark, inp, max_files_per_trigger=1)
+    q = (extract_stream(src).writeStream.format('parquet')
+         .option('path', out).option('checkpointLocation', ckpt)
+         .outputMode('append').trigger(availableNow=True).start())
+    # wait for at least one committed micro-batch, then kill mid-stream
+    deadline = time.time() + 120
+    while time.time() < deadline and q.isActive:
+        lp = q.lastProgress
+        if lp is not None and lp['batchId'] >= 1:
+            break
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+    partial = spark.read.parquet(out).count()  # respects _spark_metadata
+    n_total = len(pdf)
+    assert 0 < partial < n_total, partial  # genuinely mid-stream
+
+    # restart from the SAME checkpoint: drains only the remainder
+    run_file_stream(spark, inp, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == n_total
+    assert got.select('conv_id', 'turn_idx').distinct().count() == n_total
+    streamed = {(r.conv_id, r.turn_idx): r.main_text
+                for r in got.collect()}
+    batch = {(r.conv_id, r.turn_idx): r.main_text
+             for r in extract_turns(df).collect()}
+    assert streamed == batch
+
+
 def test_streaming_rollup_plan(spark, tmp_path):
     """watermarked windowed agg builds a valid incremental plan"""
     from pyxml_spark.pipeline import TRANSCRIPTS_SCHEMA, gen_transcripts_pdf
