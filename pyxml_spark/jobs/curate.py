@@ -62,6 +62,10 @@ def main(argv=None) -> int:
     ap.add_argument('--benchmark', default=None,
                     help='parquet of benchmark/eval docs to decontaminate '
                          'against (same text column name)')
+    ap.add_argument('--no-broadcast-benchmark', action='store_true',
+                    help='drop the forced broadcast of the benchmark gram '
+                         'set (use when the benchmark parquet is not '
+                         'eval-suite-small; AQE then picks the strategy)')
     ap.add_argument('--max-rep-x10k', type=int, default=None)
     ap.add_argument('--pack-budget', type=int, default=512)
     ap.add_argument('--dup-threshold-x10k', type=int, default=8000)
@@ -121,6 +125,9 @@ def main(argv=None) -> int:
                 p.update(dup_threshold_x10k=args.dup_threshold_x10k,
                          pair_window=PAIR_WINDOW)
             if stage in ('curated', 'mixed'):
+                # --no-broadcast-benchmark is deliberately NOT a stage
+                # param: it changes the join strategy, never the rows, so
+                # flipping it must not invalidate a committed stage
                 p.update(benchmark=(os.path.abspath(args.benchmark)
                                     if args.benchmark else None),
                          pack_budget=args.pack_budget)
@@ -214,9 +221,10 @@ def main(argv=None) -> int:
             kept = deduped
             if args.benchmark:
                 bench = spark.read.parquet(args.benchmark)
-                flags = decontaminate(kept, bench,
-                                      text_col='text',
-                                      bench_text_col=args.text_col)
+                flags = decontaminate(
+                    kept, bench, text_col='text',
+                    bench_text_col=args.text_col,
+                    broadcast=not args.no_broadcast_benchmark)
                 kept = (kept.join(flags, 'doc_id')
                         .where(~F.col('contaminated'))
                         .drop('n_gram_hits', 'contaminated'))
