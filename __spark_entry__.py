@@ -1531,14 +1531,19 @@ def _drain_stream_utc(spark, build, sink_name: str,
         q.awaitTermination()
         out = spark.table(sink_name)
     finally:
-        # a failed/hung drain must not leave the query running and
-        # squatting on the memory-sink name for the next caller
-        if q is not None and q.isActive:
-            q.stop()
-        if old_tz is not None:
-            spark.conf.set(tz_key, old_tz)
-        else:
-            spark.conf.unset(tz_key)
+        try:
+            # a failed/hung drain must not leave the query running and
+            # squatting on the memory-sink name for the next caller
+            if q is not None and q.isActive:
+                q.stop()
+        finally:
+            # tz restore must survive even a stop() that raises —
+            # leaving the shared session pinned to UTC would corrupt
+            # every later timestamp-bearing query in this process
+            if old_tz is not None:
+                spark.conf.set(tz_key, old_tz)
+            else:
+                spark.conf.unset(tz_key)
     return out
 
 

@@ -26,7 +26,6 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BENCH_TMP = os.environ.get('PYXML_SPARK_BENCH_DIR', '/tmp/pyxml_spark_bench')
 SF_DIR = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
 
 
@@ -46,9 +45,9 @@ def runner() -> int:
     out = {}
     try:
         sf = bench.sf_from_dir(SF_DIR)
-        rows = max(int(10_000_000 * sf), 20_000)
-        tpath = os.path.join(BENCH_TMP,
-                             f'transcripts_v2_sf{sf}_{rows}.parquet')
+        # bench owns the cache path AND generates the table if the cache
+        # is cold — both trees' write_transcripts are seed-deterministic
+        tpath = bench.transcripts_path(spark, sf)
         turns = spark.read.parquet(tpath)
         extract_turns(turns.limit(20_000), partitions=cpus * 2).count()
         best = None

@@ -63,17 +63,18 @@ def test_stream_kill_and_resume_exactly_once(spark, tmp_path):
     out = os.path.join(tmp_path, 'out')
     ckpt = os.path.join(tmp_path, 'ckpt')
     df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
-    df.repartition(12).write.parquet(inp)  # 12 files -> 12 micro-batches
+    df.repartition(24).write.parquet(inp)  # 24 files -> 24 micro-batches
 
     src = read_transcripts_stream(spark, inp, max_files_per_trigger=1)
     q = (extract_stream(src).writeStream.format('parquet')
          .option('path', out).option('checkpointLocation', ckpt)
          .outputMode('append').trigger(availableNow=True).start())
-    # wait for at least one committed micro-batch, then kill mid-stream
+    # stop as soon as the FIRST micro-batch commits (lastProgress exists
+    # only after a completed batch) — 23 batches of headroom keeps the
+    # stop-vs-drain race implausible even on an unthrottled box
     deadline = time.time() + 120
     while time.time() < deadline and q.isActive:
-        lp = q.lastProgress
-        if lp is not None and lp['batchId'] >= 1:
+        if q.lastProgress is not None:
             break
         time.sleep(0.05)
     q.stop()
