@@ -216,6 +216,32 @@ def test_dynamic_partition_overwrite_leaves_others_untouched(spark,
     assert not glob.glob(f'{out}/lang=de/*.parquet')
 
 
+def test_max_records_per_file_bounds_output_files(spark, tmp_path):
+    """output file-size governance: a 100-TB store must bound part-file
+    row counts (downstream readers size their splits and memory off the
+    biggest file; one 50-GB straggler file serializes whatever touches
+    it). maxRecordsPerFile is the writer-level cap — one task writing
+    many rows rolls over to new files at the bound. Footer-level proof:
+    every part file's parquet metadata reports <= the cap, and all rows
+    survive."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    out = str(tmp_path / 'bounded')
+    n = 1000
+    (spark.range(n).select('id', (F.col('id') % 7).alias('k'))
+     .coalesce(2)  # few tasks, many rows per task -> rollover must kick in
+     .write.mode('overwrite').option('maxRecordsPerFile', 100)
+     .parquet(out))
+    files = glob.glob(f'{out}/*.parquet')
+    counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert len(files) >= n // 100  # rollover actually happened
+    assert all(c <= 100 for c in counts), counts
+    assert sum(counts) == n
+    assert spark.read.parquet(out).count() == n
+
+
 def test_approx_count_distinct_error_bound(spark):
     """the HLL++ sketch behind the documented at-scale drop-in for exact
     COUNT(DISTINCT): mergeable partials, one pass, no shuffle of the
