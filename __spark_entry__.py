@@ -1645,6 +1645,35 @@ def q_streaming_extract(spark, sf_dir) -> DataFrame:
                       'main_text')
 
 
+def q_streaming_idempotent_sink(spark, sf_dir) -> DataFrame:
+    """the foreachBatch exactly-once landing for NON-transactional
+    stores, driver-visible: the same html-wrapped stream as
+    streaming_extract drains through run_idempotent_batch_sink
+    (per-batch-id overwrite + _COMMITTED marker — the two-step that
+    makes Structured Streaming's at-least-once batch re-delivery
+    exactly-once at the sink), then the union of committed batch dirs is
+    read back. Extraction is stateless per turn, so the oracle is the
+    same closed form as streaming_extract; what this row pins is that
+    the foreachBatch path loses and duplicates nothing.
+    tests/test_streaming_multimodal.py additionally proves the
+    re-delivery skip and restart-untouched-files properties."""
+    from pyxml_spark.pipeline.streaming import run_idempotent_batch_sink
+    docs = _table(spark, sf_dir, 'documents')
+    src = docs.select(F.col('doc_id').cast('string').alias('conv_id'),
+                      F.lit(0).cast('int').alias('turn_idx'),
+                      F.lit('user').alias('role'),
+                      _wrap_html(F.col('text')).alias('text'),
+                      F.lit('').alias('tool'),
+                      F.lit(None).cast('timestamp').alias('ts'))
+    tmp = _staging_dir('pyxml_stream_idem_')
+    src.repartition(8).write.mode('overwrite').parquet(f'{tmp}/in')
+    run_idempotent_batch_sink(spark, f'{tmp}/in', f'{tmp}/out',
+                              f'{tmp}/ckpt', max_files_per_trigger=4)
+    out = spark.read.parquet(f'{tmp}/out/batch=*')
+    return out.select(F.col('conv_id').cast('long').alias('doc_id'),
+                      'main_text')
+
+
 def q_streaming_progress(spark, sf_dir) -> DataFrame:
     """the custom stateful streaming operator (applyInPandasWithState),
     driver-visible: documents grouped into 50 conversations stream through
@@ -1892,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'partition_overwrite': q_partition_overwrite,
         'curate_pipeline': q_curate_pipeline,
         'bucketed_join': q_bucketed_join,
+        'streaming_idempotent_sink': q_streaming_idempotent_sink,
         # --- (2) last driver-checked in r3 ---
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
@@ -2236,6 +2266,11 @@ def oracle_sql() -> dict[str, str]:
                        AS main_text
             FROM documents""",
         'streaming_extract': f"""
+            SELECT doc_id,
+                   CASE WHEN length({norm}) >= 10 THEN {norm} ELSE '' END
+                       AS main_text
+            FROM documents""",
+        'streaming_idempotent_sink': f"""
             SELECT doc_id,
                    CASE WHEN length({norm}) >= 10 THEN {norm} ELSE '' END
                        AS main_text

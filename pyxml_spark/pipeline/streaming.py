@@ -23,7 +23,8 @@ from .schema import EXTRACTION_SCHEMA, TRANSCRIPTS_SCHEMA
 
 __all__ = ['read_transcripts_stream', 'extract_stream',
            'conversation_rollup_stream', 'conversation_progress_stream',
-           'session_rollup_stream', 'dedup_stream', 'run_file_stream']
+           'session_rollup_stream', 'dedup_stream', 'run_file_stream',
+           'run_idempotent_batch_sink']
 
 
 def read_transcripts_stream(spark: SparkSession, path: str,
@@ -155,4 +156,60 @@ def run_file_stream(spark: SparkSession, input_path: str, output_path: str,
         query.stop()
     else:
         query.awaitTermination()
+    return query
+
+
+def idempotent_batch_writer(output_path: str):
+    """foreachBatch writer with per-batch commit markers: exactly-once
+    into a NON-transactional store. The parquet file sink's
+    _spark_metadata log covers only append-to-files; production pipelines
+    also land micro-batches in stores with no transaction log (object
+    stores, plain directories, external tables). Structured Streaming's
+    contract there is: a micro-batch CAN be re-delivered after a crash
+    between the sink write and the checkpoint commit, and the sink must
+    be idempotent BY ``batch_id``. This writer makes any such landing
+    idempotent with the classic two-step: (1) ``overwrite`` the
+    batch-addressed directory (a crash mid-write is healed by the
+    re-delivery overwriting the partial output), (2) drop a _COMMITTED
+    marker last; a re-delivered batch that finds its marker is skipped
+    without touching files. Returned function is what
+    ``writeStream.foreachBatch`` expects.
+
+    foreachBatch functions execute on the DRIVER (the df.write inside
+    distributes as a normal job), so the marker check here uses local
+    os.path — on a cluster whose sink is an object store, swap the
+    marker existence check for the Hadoop FileSystem API; the two-step
+    protocol itself is storage-agnostic."""
+    import os
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        dest = os.path.join(output_path, f'batch={batch_id}')
+        marker = os.path.join(dest, '_COMMITTED')
+        if os.path.exists(marker):
+            return  # re-delivered after a sink-write/ckpt-commit crash
+        df.write.mode('overwrite').parquet(dest)
+        with open(marker, 'w'):
+            pass
+
+    return write_batch
+
+
+def run_idempotent_batch_sink(spark: SparkSession, input_path: str,
+                              output_path: str, checkpoint_path: str,
+                              config: ExtractConfig = ExtractConfig(),
+                              max_files_per_trigger: int = 16):
+    """extraction stream landed through :func:`idempotent_batch_writer`
+    (availableNow drain). Read the result back with
+    ``spark.read.parquet(f'{output_path}/batch=*')`` — only fully
+    committed batch directories exist with markers; downstream readers
+    that must exclude half-written batches filter on the marker."""
+    out = extract_stream(
+        read_transcripts_stream(spark, input_path, max_files_per_trigger),
+        config)
+    query = (out.writeStream
+             .foreachBatch(idempotent_batch_writer(output_path))
+             .option('checkpointLocation', checkpoint_path)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
     return query

@@ -95,6 +95,70 @@ def test_stream_kill_and_resume_exactly_once(spark, tmp_path):
     assert streamed == batch
 
 
+def test_idempotent_batch_sink_exactly_once(spark, tmp_path):
+    """the foreachBatch landing contract for NON-transactional stores:
+    (1) a drained stream's batch=N dirs union to exactly the batch
+    extraction output; (2) a RE-DELIVERED batch (same batch_id, even
+    with different data — the crash-between-sink-and-checkpoint case) is
+    skipped by its _COMMITTED marker, leaving files byte-identical;
+    (3) a restart from the same checkpoint after new input arrives lands
+    ONLY new batch dirs and never touches committed ones."""
+    import glob
+
+    from pyxml_spark.pipeline import (TRANSCRIPTS_SCHEMA, extract_turns,
+                                      gen_transcripts_pdf)
+    from pyxml_spark.pipeline.streaming import (idempotent_batch_writer,
+                                                run_idempotent_batch_sink)
+
+    def snap(d):
+        return {f: os.path.getmtime(f)
+                for f in glob.glob(f'{d}/**/*', recursive=True)}
+
+    pdf = gen_transcripts_pdf(400, seed=13)
+    inp = os.path.join(tmp_path, 'in')
+    out = os.path.join(tmp_path, 'out')
+    ckpt = os.path.join(tmp_path, 'ckpt')
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    df.repartition(8).write.parquet(inp)
+
+    run_idempotent_batch_sink(spark, inp, out, ckpt,
+                              max_files_per_trigger=2)  # 4 micro-batches
+    batch_dirs = sorted(glob.glob(f'{out}/batch=*'))
+    assert len(batch_dirs) >= 2
+    assert all(os.path.exists(f'{d}/_COMMITTED') for d in batch_dirs)
+    got = {(r.conv_id, r.turn_idx): r.main_text
+           for r in spark.read.parquet(f'{out}/batch=*').collect()}
+    want = {(r.conv_id, r.turn_idx): r.main_text
+            for r in extract_turns(df).collect()}
+    assert got == want
+
+    # (2) re-deliver batch 0 with DIFFERENT data: marker must skip it
+    before = snap(out)
+    poison = spark.createDataFrame(gen_transcripts_pdf(50, seed=99),
+                                   schema=TRANSCRIPTS_SCHEMA)
+    idempotent_batch_writer(out)(poison, 0)
+    assert snap(out) == before
+
+    # (3) restart after new input: only new batch dirs appear
+    extra = spark.createDataFrame(gen_transcripts_pdf(100, seed=21),
+                                  schema=TRANSCRIPTS_SCHEMA)
+    extra_renamed = extra.withColumn(
+        'conv_id', F_concat_lit('extra-', 'conv_id'))
+    extra_renamed.repartition(2).write.mode('append').parquet(inp)
+    run_idempotent_batch_sink(spark, inp, out, ckpt,
+                              max_files_per_trigger=2)
+    after = snap(out)
+    assert all(after[k] == v for k, v in before.items())  # untouched
+    assert len(glob.glob(f'{out}/batch=*')) > len(batch_dirs)
+    n_all = spark.read.parquet(f'{out}/batch=*').count()
+    assert n_all == len(pdf) + 100
+
+
+def F_concat_lit(prefix, col):
+    from pyspark.sql import functions as F
+    return F.concat(F.lit(prefix), F.col(col))
+
+
 def test_streaming_rollup_plan(spark, tmp_path):
     """watermarked windowed agg builds a valid incremental plan"""
     from pyxml_spark.pipeline import TRANSCRIPTS_SCHEMA, gen_transcripts_pdf
