@@ -1621,6 +1621,24 @@ def q_streaming_sessionize(spark, sf_dir) -> DataFrame:
         'total_value')
 
 
+def _stage_wrapped_stream_input(spark, sf_dir, prefix: str) -> str:
+    """THE shared staging step for the streaming rows that re-extract
+    the html-wrapped documents (streaming_extract,
+    streaming_idempotent_sink): documents become a transcripts-shaped
+    parquet dir under <staging>/in. One definition so the
+    TRANSCRIPTS_SCHEMA column recipe cannot drift between the rows."""
+    docs = _table(spark, sf_dir, 'documents')
+    src = docs.select(F.col('doc_id').cast('string').alias('conv_id'),
+                      F.lit(0).cast('int').alias('turn_idx'),
+                      F.lit('user').alias('role'),
+                      _wrap_html(F.col('text')).alias('text'),
+                      F.lit('').alias('tool'),
+                      F.lit(None).cast('timestamp').alias('ts'))
+    tmp = _staging_dir(prefix)
+    src.repartition(8).write.mode('overwrite').parquet(f'{tmp}/in')
+    return tmp
+
+
 def q_streaming_extract(spark, sf_dir) -> DataFrame:
     """the flagship extraction operator's streaming face, driver-visible:
     the html-wrapped documents are staged once as a transcripts-shaped
@@ -1630,15 +1648,8 @@ def q_streaming_extract(spark, sf_dir) -> DataFrame:
     turn, so the streamed output is row-identical to the batch path and
     the oracle is the same closed form as extract_html_wrapped."""
     from pyxml_spark.pipeline.streaming import run_file_stream
-    docs = _table(spark, sf_dir, 'documents')
-    src = docs.select(F.col('doc_id').cast('string').alias('conv_id'),
-                      F.lit(0).cast('int').alias('turn_idx'),
-                      F.lit('user').alias('role'),
-                      _wrap_html(F.col('text')).alias('text'),
-                      F.lit('').alias('tool'),
-                      F.lit(None).cast('timestamp').alias('ts'))
-    tmp = _staging_dir('pyxml_stream_extract_')
-    src.repartition(8).write.mode('overwrite').parquet(f'{tmp}/in')
+    tmp = _stage_wrapped_stream_input(spark, sf_dir,
+                                      'pyxml_stream_extract_')
     run_file_stream(spark, f'{tmp}/in', f'{tmp}/out', f'{tmp}/ckpt')
     out = spark.read.parquet(f'{tmp}/out')
     return out.select(F.col('conv_id').cast('long').alias('doc_id'),
@@ -1657,19 +1668,12 @@ def q_streaming_idempotent_sink(spark, sf_dir) -> DataFrame:
     the foreachBatch path loses and duplicates nothing.
     tests/test_streaming_multimodal.py additionally proves the
     re-delivery skip and restart-untouched-files properties."""
-    from pyxml_spark.pipeline.streaming import run_idempotent_batch_sink
-    docs = _table(spark, sf_dir, 'documents')
-    src = docs.select(F.col('doc_id').cast('string').alias('conv_id'),
-                      F.lit(0).cast('int').alias('turn_idx'),
-                      F.lit('user').alias('role'),
-                      _wrap_html(F.col('text')).alias('text'),
-                      F.lit('').alias('tool'),
-                      F.lit(None).cast('timestamp').alias('ts'))
-    tmp = _staging_dir('pyxml_stream_idem_')
-    src.repartition(8).write.mode('overwrite').parquet(f'{tmp}/in')
+    from pyxml_spark.pipeline.streaming import (read_committed_batches,
+                                                run_idempotent_batch_sink)
+    tmp = _stage_wrapped_stream_input(spark, sf_dir, 'pyxml_stream_idem_')
     run_idempotent_batch_sink(spark, f'{tmp}/in', f'{tmp}/out',
                               f'{tmp}/ckpt', max_files_per_trigger=4)
-    out = spark.read.parquet(f'{tmp}/out/batch=*')
+    out = read_committed_batches(spark, f'{tmp}/out')
     return out.select(F.col('conv_id').cast('long').alias('doc_id'),
                       'main_text')
 

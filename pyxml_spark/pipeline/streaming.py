@@ -24,7 +24,7 @@ from .schema import EXTRACTION_SCHEMA, TRANSCRIPTS_SCHEMA
 __all__ = ['read_transcripts_stream', 'extract_stream',
            'conversation_rollup_stream', 'conversation_progress_stream',
            'session_rollup_stream', 'dedup_stream', 'run_file_stream',
-           'run_idempotent_batch_sink']
+           'run_idempotent_batch_sink', 'read_committed_batches']
 
 
 def read_transcripts_stream(spark: SparkSession, path: str,
@@ -194,15 +194,34 @@ def idempotent_batch_writer(output_path: str):
     return write_batch
 
 
+def read_committed_batches(spark: SparkSession,
+                           output_path: str) -> DataFrame:
+    """THE read side of the idempotent sink: only batch dirs carrying
+    their _COMMITTED marker. A bare ``parquet(f'{path}/batch=*')`` would
+    see a torn, marker-less directory in exactly the crash window the
+    writer exists for (driver died mid df.write, healing re-run not yet
+    landed) — partial rows now, the same rows again after the heal.
+    Raises if nothing is committed yet rather than inventing a schema."""
+    import glob
+    import os
+    committed = sorted(
+        d for d in glob.glob(os.path.join(output_path, 'batch=*'))
+        if os.path.exists(os.path.join(d, '_COMMITTED')))
+    if not committed:
+        raise FileNotFoundError(
+            f'no committed batch directories under {output_path}')
+    return spark.read.parquet(*committed)
+
+
 def run_idempotent_batch_sink(spark: SparkSession, input_path: str,
                               output_path: str, checkpoint_path: str,
                               config: ExtractConfig = ExtractConfig(),
                               max_files_per_trigger: int = 16):
     """extraction stream landed through :func:`idempotent_batch_writer`
     (availableNow drain). Read the result back with
-    ``spark.read.parquet(f'{output_path}/batch=*')`` — only fully
-    committed batch directories exist with markers; downstream readers
-    that must exclude half-written batches filter on the marker."""
+    :func:`read_committed_batches` — a half-written, marker-less batch
+    dir from a crashed run must stay invisible until its re-delivery
+    heals it."""
     out = extract_stream(
         read_transcripts_stream(spark, input_path, max_files_per_trigger),
         config)
@@ -211,5 +230,11 @@ def run_idempotent_batch_sink(spark: SparkSession, input_path: str,
              .option('checkpointLocation', checkpoint_path)
              .trigger(availableNow=True)
              .start())
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        # an awaitTermination that raises Python-side (interrupt, py4j
+        # socket drop) must not orphan a still-running JVM query
+        if query.isActive:
+            query.stop()
     return query

@@ -165,10 +165,17 @@ def main() -> int:
         print(json.dumps(summary))
         return 0
     finally:
-        spark.sql('DROP TABLE IF EXISTS soak_a')
-        spark.sql('DROP TABLE IF EXISTS soak_b')
-        spark.stop()
-        shutil.rmtree(tmp, ignore_errors=True)
+        # a dead session must not mask the real error or skip the
+        # multi-GB tmp cleanup
+        try:
+            spark.sql('DROP TABLE IF EXISTS soak_a')
+            spark.sql('DROP TABLE IF EXISTS soak_b')
+        except Exception:
+            pass
+        try:
+            spark.stop()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == '__main__':

@@ -105,9 +105,11 @@ def test_idempotent_batch_sink_exactly_once(spark, tmp_path):
     ONLY new batch dirs and never touches committed ones."""
     import glob
 
+    from pyspark.sql import functions as F
     from pyxml_spark.pipeline import (TRANSCRIPTS_SCHEMA, extract_turns,
                                       gen_transcripts_pdf)
     from pyxml_spark.pipeline.streaming import (idempotent_batch_writer,
+                                                read_committed_batches,
                                                 run_idempotent_batch_sink)
 
     def snap(d):
@@ -127,7 +129,7 @@ def test_idempotent_batch_sink_exactly_once(spark, tmp_path):
     assert len(batch_dirs) >= 2
     assert all(os.path.exists(f'{d}/_COMMITTED') for d in batch_dirs)
     got = {(r.conv_id, r.turn_idx): r.main_text
-           for r in spark.read.parquet(f'{out}/batch=*').collect()}
+           for r in read_committed_batches(spark, out).collect()}
     want = {(r.conv_id, r.turn_idx): r.main_text
             for r in extract_turns(df).collect()}
     assert got == want
@@ -139,24 +141,29 @@ def test_idempotent_batch_sink_exactly_once(spark, tmp_path):
     idempotent_batch_writer(out)(poison, 0)
     assert snap(out) == before
 
-    # (3) restart after new input: only new batch dirs appear
+    # (2b) a TORN batch dir (crash mid-write: files, no marker) must be
+    # invisible to the committed read — this is the crash window the
+    # marker protocol exists for
+    torn = os.path.join(out, 'batch=999')
+    os.makedirs(torn)
+    with open(os.path.join(torn, 'part-00000.parquet'), 'wb') as fh:
+        fh.write(b'not parquet')
+    assert read_committed_batches(spark, out).count() == len(pdf)
+
+    # (3) restart after new input: only new batch dirs appear; the torn
+    # dir heals only if the stream re-delivers ITS id (999 never ran, so
+    # it stays invisible)
     extra = spark.createDataFrame(gen_transcripts_pdf(100, seed=21),
                                   schema=TRANSCRIPTS_SCHEMA)
     extra_renamed = extra.withColumn(
-        'conv_id', F_concat_lit('extra-', 'conv_id'))
+        'conv_id', F.concat(F.lit('extra-'), F.col('conv_id')))
     extra_renamed.repartition(2).write.mode('append').parquet(inp)
     run_idempotent_batch_sink(spark, inp, out, ckpt,
                               max_files_per_trigger=2)
     after = snap(out)
     assert all(after[k] == v for k, v in before.items())  # untouched
     assert len(glob.glob(f'{out}/batch=*')) > len(batch_dirs)
-    n_all = spark.read.parquet(f'{out}/batch=*').count()
-    assert n_all == len(pdf) + 100
-
-
-def F_concat_lit(prefix, col):
-    from pyspark.sql import functions as F
-    return F.concat(F.lit(prefix), F.col(col))
+    assert read_committed_batches(spark, out).count() == len(pdf) + 100
 
 
 def test_streaming_rollup_plan(spark, tmp_path):
