@@ -149,6 +149,9 @@ def test_idempotent_batch_sink_exactly_once(spark, tmp_path):
     with open(os.path.join(torn, 'part-00000.parquet'), 'wb') as fh:
         fh.write(b'not parquet')
     assert read_committed_batches(spark, out).count() == len(pdf)
+    # a store with NOTHING committed raises instead of inventing a schema
+    with pytest.raises(FileNotFoundError):
+        read_committed_batches(spark, str(tmp_path / 'empty_store'))
 
     # (3) restart after new input: only new batch dirs appear; the torn
     # dir heals only if the stream re-delivers ITS id (999 never ran, so
