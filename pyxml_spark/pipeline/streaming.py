@@ -151,12 +151,28 @@ def run_file_stream(spark: SparkSession, input_path: str, output_path: str,
              .outputMode('append')
              .trigger(availableNow=True)
              .start())
-    if timeout_s is not None:
-        query.awaitTermination(timeout_s)
-        query.stop()
-    else:
-        query.awaitTermination()
+    try:
+        if timeout_s is not None:
+            query.awaitTermination(timeout_s)
+            query.stop()
+        else:
+            query.awaitTermination()
+    finally:
+        _stop_if_active(query)
     return query
+
+
+def _stop_if_active(query) -> None:
+    """best-effort orphan-query cleanup for the bounded drains: a drain
+    whose awaitTermination raises Python-side (interrupt, py4j socket
+    drop) must not leave the JVM query running — and the cleanup itself
+    must never replace the in-flight exception (isActive/stop are py4j
+    round-trips that also fail when the gateway is the thing that died)."""
+    try:
+        if query.isActive:
+            query.stop()
+    except Exception:
+        pass
 
 
 def idempotent_batch_writer(output_path: str):
@@ -233,8 +249,5 @@ def run_idempotent_batch_sink(spark: SparkSession, input_path: str,
     try:
         query.awaitTermination()
     finally:
-        # an awaitTermination that raises Python-side (interrupt, py4j
-        # socket drop) must not orphan a still-running JVM query
-        if query.isActive:
-            query.stop()
+        _stop_if_active(query)
     return query

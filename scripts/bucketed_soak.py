@@ -174,6 +174,8 @@ def main() -> int:
             pass
         try:
             spark.stop()
+        except Exception:
+            pass  # a dead gateway's teardown error must not win either
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 

@@ -165,7 +165,11 @@ def test_idempotent_batch_sink_exactly_once(spark, tmp_path):
                               max_files_per_trigger=2)
     after = snap(out)
     assert all(after[k] == v for k, v in before.items())  # untouched
-    assert len(glob.glob(f'{out}/batch=*')) > len(batch_dirs)
+    # count COMMITTED dirs only — the planted torn batch=999 would make
+    # a raw glob comparison vacuously true
+    committed = [d for d in glob.glob(f'{out}/batch=*')
+                 if os.path.exists(f'{d}/_COMMITTED')]
+    assert len(committed) > len(batch_dirs)
     assert read_committed_batches(spark, out).count() == len(pdf) + 100
 
 
