@@ -672,6 +672,30 @@ def q_dedup_keeper(spark, sf_dir) -> DataFrame:
     return dup_components(toks, dups)
 
 
+def q_dedup_incremental(spark, sf_dir) -> DataFrame:
+    """daily-ingest near-dup links WITHOUT recomputing corpus
+    signatures: the doc_id%10==0 slice stands in for the new shard, the
+    rest for the corpus whose band index is already persisted (staged to
+    parquet here, as a production build_lsh-style index table would be).
+    Shard band keys broadcast into the index scan; surviving buckets
+    reduce to min(doc_id) reps (aggregate, NOT a per-bucket window — a
+    hot bucket must never hand one task a giant sort, and one link per
+    bucket suffices because candidate_pairs already chains the bucket's
+    existing members). Output bounded by N_BANDS links per new doc.
+    Oracle: the same min-rep linking over the shared band-key CTE."""
+    from pyxml_spark.pipeline.dedup import (incremental_candidate_pairs,
+                                            minhash_bands, token_sets)
+    docs = _table(spark, sf_dir, 'documents')
+    old = docs.where(F.col('doc_id') % 10 != 0)
+    new = docs.where(F.col('doc_id') % 10 == 0)
+    tmp = _staging_dir('pyxml_dedup_incr_')
+    (minhash_bands(token_sets(old))
+     .write.mode('overwrite').parquet(f'{tmp}/index'))
+    index = spark.read.parquet(f'{tmp}/index')
+    nb = minhash_bands(token_sets(new))
+    return incremental_candidate_pairs(nb, index)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     """token-set jaccard between paired docs (doc i vs doc 2i), integer
     scaled x10000 — the n-gram near-dup primitive"""
@@ -1926,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'curate_pipeline': q_curate_pipeline,
         'bucketed_join': q_bucketed_join,
         'streaming_idempotent_sink': q_streaming_idempotent_sink,
+        'dedup_incremental': q_dedup_incremental,
         # --- (2) last driver-checked in r3 ---
         'ordered_turns': q_ordered_turns,
         'streaming_rollup': q_streaming_rollup,
@@ -2639,6 +2664,18 @@ def oracle_sql() -> dict[str, str]:
         'minhash_band': f"""
             {_mh_sql_cte()}
             SELECT doc_id, band_id, band_key FROM b""",
+        'dedup_incremental': f"""
+            {_mh_sql_cte()},
+            nb AS (SELECT * FROM b WHERE doc_id % 10 = 0),
+            ib AS (SELECT * FROM b WHERE doc_id % 10 <> 0),
+            reps AS (SELECT band_id, band_key,
+                            MIN(ib.doc_id) AS doc_existing
+                     FROM ib JOIN (SELECT DISTINCT band_id, band_key
+                                   FROM nb) k
+                          USING (band_id, band_key)
+                     GROUP BY band_id, band_key)
+            SELECT DISTINCT nb.doc_id AS doc_new, reps.doc_existing
+            FROM nb JOIN reps USING (band_id, band_key)""",
         'dedup_minhash_pairs': _mh_pairs_sql(),
         'dedup_keeper': _mh_keeper_sql(),
         'ngram_jaccard_pairs': f"""

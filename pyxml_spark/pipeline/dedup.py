@@ -36,7 +36,8 @@ from pyspark.sql.window import Window
 __all__ = ['N_PERMS', 'N_BANDS', 'N_ROWS', 'PAIR_WINDOW', 'MH_PRIME',
            'N_SUBBUCKETS', 'HOT_BUCKET_THRESHOLD', 'perm_coeffs',
            'salt_expr', 'token_sets', 'minhash_bands', 'candidate_pairs',
-           'jaccard_pairs', 'dup_components', 'cleanup_checkpoint_runs']
+           'incremental_candidate_pairs', 'jaccard_pairs',
+           'dup_components', 'cleanup_checkpoint_runs']
 
 
 def cleanup_checkpoint_runs(spark, checkpoint_dir: str) -> None:
@@ -306,6 +307,42 @@ def dup_components(tokens: DataFrame, dup_pairs: DataFrame,
     finally:
         if run_dir is not None and restore_dir is not None:
             sc.setCheckpointDir(restore_dir)
+
+
+def incremental_candidate_pairs(new_bands: DataFrame,
+                                index_bands: DataFrame,
+                                broadcast_keys: bool = True) -> DataFrame:
+    """distinct (doc_new, doc_existing) near-dup links for a freshly
+    ingested shard against the PERSISTED corpus band index — daily
+    ingest dedup without recomputing a single corpus signature.
+
+    Scale shape, in order:
+    (1) the shard's distinct band keys broadcast into the index scan
+        (``broadcast_keys=True``, the daily-shard case where the key set
+        is millions, not billions; pass False for a bulk backfill and
+        AQE plans the equi-join) so the corpus-sized side is FILTERED AT
+        THE SCAN to only buckets the shard actually hits;
+    (2) surviving index rows reduce to ``min(doc_id)`` per bucket — a
+        map-side-combinable aggregate, deliberately NOT a per-bucket
+        window: a hot boilerplate bucket would hand one task a
+        millions-row sort, and the keeper merge only needs ONE link into
+        the existing bucket (its members are already chained pairwise by
+        :func:`candidate_pairs` in the corpus's own dup_pairs output, so
+        linking any member connects the new doc to the whole component);
+    (3) each new doc joins its buckets' reps — at most N_BANDS output
+        links per new doc, strictly linear in shard size.
+
+    Feed the union of these links with the corpus dup_pairs into
+    :func:`dup_components` to re-label; only components the shard
+    touches change."""
+    keys = new_bands.select('band_id', 'band_key').distinct()
+    keys_side = F.broadcast(keys) if broadcast_keys else keys
+    reps = (index_bands.join(keys_side, ['band_id', 'band_key'])
+            .groupBy('band_id', 'band_key')
+            .agg(F.min('doc_id').alias('doc_existing')))
+    return (new_bands.join(reps, ['band_id', 'band_key'])
+            .select(F.col('doc_id').alias('doc_new'), 'doc_existing')
+            .distinct())
 
 
 def jaccard_pairs(tokens: DataFrame, cands: DataFrame,

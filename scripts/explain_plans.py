@@ -441,6 +441,21 @@ def main() -> int:
     # composed curation row: after staging, the only non-equi join left
     # is the prefix scan's documented ONE-ROW broadcast stats join —
     # cross with a 1-row side, not a data-x-data cartesian
+    # incremental dedup: the shard's key set broadcasts into the index
+    # side and the per-bucket rep is an aggregate — no Window (a hot
+    # bucket must never become one task's sort), no cartesian
+    from pyxml_spark.pipeline.dedup import (incremental_candidate_pairs,
+                                            minhash_bands, token_sets)
+    di_nb = minhash_bands(token_sets(docs.where(F.col('doc_id') % 10 == 0)))
+    di_ib = minhash_bands(token_sets(docs.where(F.col('doc_id') % 10 != 0)))
+    di_plan = plan_of(incremental_candidate_pairs(di_nb, di_ib))
+    sections.append(('dedup_incremental', di_plan))
+    checks.append(('dedup_incremental',
+                   'broadcast key semi-filter, aggregate rep, no Window',
+                   'BroadcastHashJoin' in di_plan
+                   and ') Window' not in di_plan
+                   and 'CartesianProduct' not in di_plan))
+
     import re as _re
     cp_plan = plan_of(entry.q_curate_pipeline(spark, sf_dir))
     sections.append(('curate_pipeline', cp_plan))

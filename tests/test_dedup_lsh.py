@@ -336,3 +336,38 @@ def test_dedup_job_resume_manifest_invalidates_on_param_change(tmp_path):
                             '9000']) == 0
     changed = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert changed['stages_run'] == ['pairs', 'keepers']
+
+
+def test_incremental_pairs_link_shard_to_existing_component(spark):
+    """planted semantics for incremental_candidate_pairs: a shard doc
+    near-identical to existing corpus docs links to (at least) the
+    minimum member of every band bucket they share; a shard doc with
+    unique content produces zero links. Also pins the min-rep bound:
+    no shard doc emits more than N_BANDS links."""
+    from pyspark.sql import functions as F
+    from pyxml_spark.pipeline.dedup import (N_BANDS,
+                                            incremental_candidate_pairs,
+                                            minhash_bands, token_sets)
+    base = ('alpha beta gamma delta epsilon zeta eta theta iota kappa '
+            'lam mu nu xi omicron pi rho sigma tau upsilon')
+    corpus = [(1, base), (2, base + ' extraword')]
+    shard = [(10, base), (20, 'totally different content nothing shared '
+                              'here at all whatsoever really')]
+    cdf = spark.createDataFrame(corpus, 'doc_id long, text string')
+    sdf = spark.createDataFrame(shard, 'doc_id long, text string')
+    index = minhash_bands(token_sets(cdf))
+    nb = minhash_bands(token_sets(sdf))
+    links = incremental_candidate_pairs(nb, index).collect()
+    by_new = {}
+    for r in links:
+        by_new.setdefault(r.doc_new, set()).add(r.doc_existing)
+    # identical doc 10 shares every band with doc 1 (and possibly 2);
+    # the min-rep rule must hand it doc 1
+    assert by_new[10] == {1}
+    assert 20 not in by_new
+    assert all(len(v) <= N_BANDS for v in by_new.values())
+    # broadcast_keys=False (bulk-backfill path) is plan-only
+    links2 = incremental_candidate_pairs(
+        nb, index, broadcast_keys=False).collect()
+    assert {(r.doc_new, r.doc_existing) for r in links2} == \
+        {(r.doc_new, r.doc_existing) for r in links}
