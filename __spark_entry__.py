@@ -673,16 +673,16 @@ def q_dedup_keeper(spark, sf_dir) -> DataFrame:
 
 
 def q_dedup_incremental(spark, sf_dir) -> DataFrame:
-    """daily-ingest near-dup links WITHOUT recomputing corpus
+    """daily-ingest near-dup CANDIDATE links WITHOUT recomputing corpus
     signatures: the doc_id%10==0 slice stands in for the new shard, the
-    rest for the corpus whose band index is already persisted (staged to
-    parquet here, as a production build_lsh-style index table would be).
-    Shard band keys broadcast into the index scan; surviving buckets
-    reduce to min(doc_id) reps (aggregate, NOT a per-bucket window — a
-    hot bucket must never hand one task a giant sort, and one link per
-    bucket suffices because candidate_pairs already chains the bucket's
-    existing members). Output bounded by N_BANDS links per new doc.
-    Oracle: the same min-rep linking over the shared band-key CTE."""
+    rest for the corpus whose band index is already persisted. BOTH band
+    tables are staged to parquet (the operator references each side more
+    than once; lazy recompute would re-run the signature job — the
+    round-3 bands.parquet lesson). Links mirror candidate_pairs' two
+    regimes (small bucket -> all members, hot bucket -> per-salt mins);
+    like the batch path they are candidates to be jaccard-verified
+    before keeper use (pinned by tests/test_dedup_lsh.py). Oracle: the
+    same two-regime linking over the shared band-key CTE."""
     from pyxml_spark.pipeline.dedup import (incremental_candidate_pairs,
                                             minhash_bands, token_sets)
     docs = _table(spark, sf_dir, 'documents')
@@ -691,8 +691,10 @@ def q_dedup_incremental(spark, sf_dir) -> DataFrame:
     tmp = _staging_dir('pyxml_dedup_incr_')
     (minhash_bands(token_sets(old))
      .write.mode('overwrite').parquet(f'{tmp}/index'))
+    (minhash_bands(token_sets(new))
+     .write.mode('overwrite').parquet(f'{tmp}/shard'))
     index = spark.read.parquet(f'{tmp}/index')
-    nb = minhash_bands(token_sets(new))
+    nb = spark.read.parquet(f'{tmp}/shard')
     return incremental_candidate_pairs(nb, index)
 
 
@@ -2059,6 +2061,39 @@ def _mh_sql_cte() -> str:
             f"WHERE trim(text) <> ''),\n b AS ({' UNION ALL '.join(selects)})")
 
 
+def _incr_dedup_sql() -> str:
+    """DuckDB twin of incremental_candidate_pairs over the %10 split:
+    hit buckets from the shard's key set, then candidate_pairs' two
+    regimes — small bucket links every member, hot bucket links the min
+    per band-dependent salt sub-bucket (same salt_expr arithmetic as
+    _mh_pairs_cte)."""
+    from pyxml_spark.pipeline.dedup import (HOT_BUCKET_THRESHOLD,
+                                            N_SUBBUCKETS)
+    return f"""
+        {_mh_sql_cte()},
+        nb AS (SELECT * FROM b WHERE doc_id % 10 = 0),
+        ib AS (SELECT * FROM b WHERE doc_id % 10 <> 0),
+        k AS (SELECT DISTINCT band_id, band_key FROM nb),
+        hits AS (SELECT ib.* FROM ib JOIN k USING (band_id, band_key)),
+        hz AS (SELECT doc_id, band_id, band_key,
+                      COUNT(*) OVER (PARTITION BY band_id, band_key)
+                          AS _bsz
+               FROM hits),
+        small AS (SELECT band_id, band_key, doc_id AS doc_b
+                  FROM hz WHERE _bsz <= {HOT_BUCKET_THRESHOLD}),
+        hotm AS (SELECT band_id, band_key, MIN(doc_id) AS doc_b
+                 FROM (SELECT band_id, band_key, doc_id,
+                              CAST('0x' || substr(md5(
+                                  CAST(band_id AS VARCHAR) || ':' ||
+                                  CAST(doc_id AS VARCHAR)), 1, 15)
+                                  AS BIGINT) % {N_SUBBUCKETS} AS _salt
+                       FROM hz WHERE _bsz > {HOT_BUCKET_THRESHOLD})
+                 GROUP BY band_id, band_key, _salt),
+        ex AS (SELECT * FROM small UNION ALL SELECT * FROM hotm)
+        SELECT DISTINCT nb.doc_id AS doc_a, ex.doc_b
+        FROM nb JOIN ex USING (band_id, band_key)"""
+
+
 def _mh_pairs_cte() -> str:
     """DuckDB CTE chain through ``p`` (candidate pairs with exact-jaccard
     ingredients) — twin of candidate_pairs + jaccard_pairs (hot-bucket
@@ -2664,18 +2699,7 @@ def oracle_sql() -> dict[str, str]:
         'minhash_band': f"""
             {_mh_sql_cte()}
             SELECT doc_id, band_id, band_key FROM b""",
-        'dedup_incremental': f"""
-            {_mh_sql_cte()},
-            nb AS (SELECT * FROM b WHERE doc_id % 10 = 0),
-            ib AS (SELECT * FROM b WHERE doc_id % 10 <> 0),
-            reps AS (SELECT band_id, band_key,
-                            MIN(ib.doc_id) AS doc_existing
-                     FROM ib JOIN (SELECT DISTINCT band_id, band_key
-                                   FROM nb) k
-                          USING (band_id, band_key)
-                     GROUP BY band_id, band_key)
-            SELECT DISTINCT nb.doc_id AS doc_new, reps.doc_existing
-            FROM nb JOIN reps USING (band_id, band_key)""",
+        'dedup_incremental': _incr_dedup_sql(),
         'dedup_minhash_pairs': _mh_pairs_sql(),
         'dedup_keeper': _mh_keeper_sql(),
         'ngram_jaccard_pairs': f"""

@@ -311,37 +311,68 @@ def dup_components(tokens: DataFrame, dup_pairs: DataFrame,
 
 def incremental_candidate_pairs(new_bands: DataFrame,
                                 index_bands: DataFrame,
-                                broadcast_keys: bool = True) -> DataFrame:
-    """distinct (doc_new, doc_existing) near-dup links for a freshly
-    ingested shard against the PERSISTED corpus band index — daily
-    ingest dedup without recomputing a single corpus signature.
+                                broadcast_keys: bool = True,
+                                n_subbuckets: int = N_SUBBUCKETS,
+                                hot_threshold: int = HOT_BUCKET_THRESHOLD
+                                ) -> DataFrame:
+    """distinct CANDIDATE (doc_a=new, doc_b=existing) links for a
+    freshly ingested shard against the PERSISTED corpus band index —
+    daily ingest dedup without recomputing a single corpus signature.
+
+    VERIFICATION CONTRACT — same as :func:`candidate_pairs`: these are
+    LSH candidates at the band threshold, NOT verified duplicates. Run
+    them through :func:`jaccard_pairs` (token sets unioned over shard +
+    linked corpus docs) and filter ``is_dup`` before any keeper or
+    component use, exactly as jobs/dedup.py does for the batch path —
+    an unverified chance band collision fed to :func:`dup_components`
+    would merge two non-duplicate components.
 
     Scale shape, in order:
     (1) the shard's distinct band keys broadcast into the index scan
-        (``broadcast_keys=True``, the daily-shard case where the key set
-        is millions, not billions; pass False for a bulk backfill and
-        AQE plans the equi-join) so the corpus-sized side is FILTERED AT
-        THE SCAN to only buckets the shard actually hits;
-    (2) surviving index rows reduce to ``min(doc_id)`` per bucket — a
-        map-side-combinable aggregate, deliberately NOT a per-bucket
-        window: a hot boilerplate bucket would hand one task a
-        millions-row sort, and the keeper merge only needs ONE link into
-        the existing bucket (its members are already chained pairwise by
-        :func:`candidate_pairs` in the corpus's own dup_pairs output, so
-        linking any member connects the new doc to the whole component);
-    (3) each new doc joins its buckets' reps — at most N_BANDS output
-        links per new doc, strictly linear in shard size.
+        (``broadcast_keys=True``, the daily-shard case; pass False for a
+        bulk backfill and AQE plans the equi-join) so the corpus-sized
+        side is FILTERED AT THE SCAN to only buckets the shard hits;
+    (2) bucket linking mirrors candidate_pairs' two regimes:
+        * small buckets (<= hot_threshold surviving members): the new
+          doc links to EVERY existing member — a single-rep link could
+          be a chance collision (interloper) hiding the true dup behind
+          it, the round-3 salting lesson; fan-out bounded by
+          hot_threshold per bucket;
+        * hot buckets: one MIN per (bucket, band-dependent salt_expr
+          sub-bucket) — a map-side-combinable aggregate, never a
+          per-bucket window sort; a hot bucket's near-identical members
+          are mutually chained in the corpus dup_pairs, so
+          ``n_subbuckets`` verified links suffice to merge components;
+    (3) output bounded by N_BANDS * hot_threshold links per new doc —
+        linear in shard size, independent of corpus size.
 
-    Feed the union of these links with the corpus dup_pairs into
-    :func:`dup_components` to re-label; only components the shard
-    touches change."""
+    Composition for a full ingest: verified links from here + verified
+    intra-shard dups from ``candidate_pairs(new_bands)`` (shard-internal
+    duplicates never touch the index) + the corpus dup_pairs, all into
+    :func:`dup_components`; only components the shard touches change.
+    STAGE ``new_bands`` (and read the index) from parquet first — both
+    sides are referenced more than once and lazy recompute would re-run
+    the signature job per reference (the round-3 bands.parquet lesson)."""
     keys = new_bands.select('band_id', 'band_key').distinct()
     keys_side = F.broadcast(keys) if broadcast_keys else keys
-    reps = (index_bands.join(keys_side, ['band_id', 'band_key'])
-            .groupBy('band_id', 'band_key')
-            .agg(F.min('doc_id').alias('doc_existing')))
-    return (new_bands.join(reps, ['band_id', 'band_key'])
-            .select(F.col('doc_id').alias('doc_new'), 'doc_existing')
+    hits = index_bands.join(keys_side, ['band_id', 'band_key'])
+    sizes = hits.groupBy('band_id', 'band_key').agg(
+        F.count('*').alias('_bsz'))
+    hot = (sizes.where(F.col('_bsz') > hot_threshold)
+           .select('band_id', 'band_key', F.lit(True).alias('_hot')))
+    flagged = hits.join(F.broadcast(hot), ['band_id', 'band_key'], 'left')
+    small = (flagged.where(F.col('_hot').isNull())
+             .select('band_id', 'band_key',
+                     F.col('doc_id').alias('doc_b')))
+    hot_reps = (flagged.where(F.col('_hot'))
+                .groupBy('band_id', 'band_key',
+                         salt_expr(n_subbuckets=n_subbuckets)
+                         .alias('_salt'))
+                .agg(F.min('doc_id').alias('doc_b'))
+                .select('band_id', 'band_key', 'doc_b'))
+    existing = small.unionByName(hot_reps)
+    return (new_bands.join(existing, ['band_id', 'band_key'])
+            .select(F.col('doc_id').alias('doc_a'), 'doc_b')
             .distinct())
 
 

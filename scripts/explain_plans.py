@@ -441,21 +441,6 @@ def main() -> int:
     # composed curation row: after staging, the only non-equi join left
     # is the prefix scan's documented ONE-ROW broadcast stats join —
     # cross with a 1-row side, not a data-x-data cartesian
-    # incremental dedup: the shard's key set broadcasts into the index
-    # side and the per-bucket rep is an aggregate — no Window (a hot
-    # bucket must never become one task's sort), no cartesian
-    from pyxml_spark.pipeline.dedup import (incremental_candidate_pairs,
-                                            minhash_bands, token_sets)
-    di_nb = minhash_bands(token_sets(docs.where(F.col('doc_id') % 10 == 0)))
-    di_ib = minhash_bands(token_sets(docs.where(F.col('doc_id') % 10 != 0)))
-    di_plan = plan_of(incremental_candidate_pairs(di_nb, di_ib))
-    sections.append(('dedup_incremental', di_plan))
-    checks.append(('dedup_incremental',
-                   'broadcast key semi-filter, aggregate rep, no Window',
-                   'BroadcastHashJoin' in di_plan
-                   and ') Window' not in di_plan
-                   and 'CartesianProduct' not in di_plan))
-
     import re as _re
     cp_plan = plan_of(entry.q_curate_pipeline(spark, sf_dir))
     sections.append(('curate_pipeline', cp_plan))
@@ -467,6 +452,22 @@ def main() -> int:
     checks.append(('curate_pipeline',
                    'staged stages; no cartesian (1-row stats BNLJ only)',
                    'CartesianProduct' not in cp_plan and n_bnlj <= 2))
+
+    # incremental dedup: the shard's key set broadcasts into the index
+    # side; bucket sizing and hot-bucket reps are AGGREGATES — no Window
+    # operator anywhere (a hot bucket must never become one task's
+    # sort), no cartesian
+    from pyxml_spark.pipeline.dedup import (incremental_candidate_pairs,
+                                            minhash_bands, token_sets)
+    di_nb = minhash_bands(token_sets(docs.where(F.col('doc_id') % 10 == 0)))
+    di_ib = minhash_bands(token_sets(docs.where(F.col('doc_id') % 10 != 0)))
+    di_plan = plan_of(incremental_candidate_pairs(di_nb, di_ib))
+    sections.append(('dedup_incremental', di_plan))
+    checks.append(('dedup_incremental',
+                   'broadcast key filter, aggregate reps, no Window',
+                   'BroadcastHashJoin' in di_plan
+                   and ') Window' not in di_plan
+                   and 'CartesianProduct' not in di_plan))
 
     failed = [c for c in checks if not c[2]]
     out = os.path.join(REPO, 'PLANS.md')

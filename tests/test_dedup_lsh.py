@@ -312,16 +312,17 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
 
 
 
-def test_incremental_pairs_link_shard_to_existing_component(spark):
-    """planted semantics for incremental_candidate_pairs: a shard doc
-    near-identical to existing corpus docs links to (at least) the
-    minimum member of every band bucket they share; a shard doc with
-    unique content produces zero links. Also pins the min-rep bound:
-    no shard doc emits more than N_BANDS links."""
-    from pyspark.sql import functions as F
-    from pyxml_spark.pipeline.dedup import (N_BANDS,
-                                            incremental_candidate_pairs,
-                                            minhash_bands, token_sets)
+def test_incremental_pairs_link_and_verify(spark):
+    """planted semantics for incremental_candidate_pairs (small-bucket
+    regime): a shard doc near-identical to existing corpus docs links to
+    EVERY member of each shared small bucket (a single-rep link could be
+    an interloper hiding the true dup); a unique shard doc links to
+    nothing; and the links feed jaccard_pairs directly (doc_a/doc_b
+    columns) so the documented verify-before-components workflow is
+    mechanically possible."""
+    from pyxml_spark.pipeline.dedup import (incremental_candidate_pairs,
+                                            jaccard_pairs, minhash_bands,
+                                            token_sets)
     base = ('alpha beta gamma delta epsilon zeta eta theta iota kappa '
             'lam mu nu xi omicron pi rho sigma tau upsilon')
     corpus = [(1, base), (2, base + ' extraword')]
@@ -331,20 +332,54 @@ def test_incremental_pairs_link_shard_to_existing_component(spark):
     sdf = spark.createDataFrame(shard, 'doc_id long, text string')
     index = minhash_bands(token_sets(cdf))
     nb = minhash_bands(token_sets(sdf))
-    links = incremental_candidate_pairs(nb, index).collect()
+    links_df = incremental_candidate_pairs(nb, index)
+    links = links_df.collect()
     by_new = {}
     for r in links:
-        by_new.setdefault(r.doc_new, set()).add(r.doc_existing)
-    # identical doc 10 shares every band with doc 1 (and possibly 2);
-    # the min-rep rule must hand it doc 1
-    assert by_new[10] == {1}
+        by_new.setdefault(r.doc_a, set()).add(r.doc_b)
+    # identical doc 10 shares every band bucket with doc 1; small-bucket
+    # regime links ALL members of each shared bucket
+    assert 1 in by_new[10]
+    assert by_new[10] <= {1, 2}
     assert 20 not in by_new
-    assert all(len(v) <= N_BANDS for v in by_new.values())
+    # the verification composition: union token sets, jaccard-verify
+    toks = token_sets(cdf).unionByName(token_sets(sdf))
+    verified = {(r.doc_a, r.doc_b)
+                for r in jaccard_pairs(toks, links_df).collect()
+                if r.is_dup}
+    assert (10, 1) in verified
     # broadcast_keys=False (bulk-backfill path) is plan-only
     links2 = incremental_candidate_pairs(
         nb, index, broadcast_keys=False).collect()
-    assert {(r.doc_new, r.doc_existing) for r in links2} == \
-        {(r.doc_new, r.doc_existing) for r in links}
+    assert {(r.doc_a, r.doc_b) for r in links2} == \
+        {(r.doc_a, r.doc_b) for r in links}
+
+
+def test_incremental_pairs_hot_bucket_caps_fanout(spark):
+    """hot-bucket regime: 40 near-identical existing docs in one logical
+    bucket with hot_threshold=3 must NOT fan a single new doc into 40
+    links — output is capped at one min per (band, salt sub-bucket),
+    <= N_BANDS * n_subbuckets distinct partners, and the global minimum
+    member (doc 1, the eventual keeper root) is always among them."""
+    from pyxml_spark.pipeline.dedup import (N_BANDS,
+                                            incremental_candidate_pairs,
+                                            minhash_bands, token_sets)
+    base = ('alpha beta gamma delta epsilon zeta eta theta iota kappa '
+            'lam mu nu xi omicron pi rho sigma tau upsilon')
+    corpus = [(i, base) for i in range(1, 41)]  # identical -> same buckets
+    shard = [(100, base)]
+    cdf = spark.createDataFrame(corpus, 'doc_id long, text string')
+    sdf = spark.createDataFrame(shard, 'doc_id long, text string')
+    index = minhash_bands(token_sets(cdf))
+    nb = minhash_bands(token_sets(sdf))
+    n_sub = 2
+    links = incremental_candidate_pairs(
+        nb, index, hot_threshold=3, n_subbuckets=n_sub).collect()
+    partners = {r.doc_b for r in links if r.doc_a == 100}
+    assert partners, 'hot bucket must still produce links'
+    assert len(partners) <= N_BANDS * n_sub
+    assert len(partners) < 40  # the cap actually did something
+    assert 1 in partners  # min of its salt sub-bucket in every band
 
 
 def test_dedup_job_resume_manifest_invalidates_on_param_change(tmp_path):
