@@ -32,6 +32,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+if _SCRIPTS not in sys.path:  # survive python -m / imports from tests
+    sys.path.insert(0, _SCRIPTS)
 
 from dedup_soak import synth_docs  # noqa: E402  (same dir)
 
@@ -40,11 +43,14 @@ def synth_shard(spark, corpus_n, shard_n):
     """deterministic shard: ids corpus_n..corpus_n+shard_n; id % 5 == 0
     docs are near-dups (one extra token) of corpus doc (id-corpus_n) % corpus_n"""
     from pyspark.sql import functions as F
-    base = synth_docs(spark, corpus_n + shard_n, hot=corpus_n // 20)
+    hot = max(1000, corpus_n // 20)  # dedup_soak's guard: the hot
+    # cluster must actually cross HOT_BUCKET_THRESHOLD at small --rows,
+    # or the salted min-rep regime silently goes unexercised
+    base = synth_docs(spark, corpus_n + shard_n, hot=hot)
     shard = base.where(F.col('doc_id') >= corpus_n)
     planted = F.col('doc_id') % 5 == 0
     twin_gen = (F.col('doc_id') - corpus_n) % corpus_n
-    twin_base = synth_docs(spark, corpus_n, hot=corpus_n // 20) \
+    twin_base = synth_docs(spark, corpus_n, hot=hot) \
         .withColumnRenamed('doc_id', 'twin_id') \
         .withColumnRenamed('text', 'twin_text')
     shard = (shard.withColumn('twin_id',
@@ -77,7 +83,10 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel('ERROR')
     tmp = tempfile.mkdtemp(prefix='pyxml_incr_soak_')
     try:
-        corpus = synth_docs(spark, args.rows, hot=args.rows // 20)
+        # hot MUST match synth_shard's internal value or twin texts
+        # diverge from the corpus texts they were planted against
+        corpus = synth_docs(spark, args.rows,
+                            hot=max(1000, args.rows // 20))
         shard = synth_shard(spark, args.rows, args.shard)
         corpus.write.mode('overwrite').parquet(f'{tmp}/corpus')
         shard.write.mode('overwrite').parquet(f'{tmp}/shard_docs')
@@ -99,9 +108,16 @@ def main(argv=None) -> int:
         links = incremental_candidate_pairs(nb, index)
         links.write.mode('overwrite').parquet(f'{tmp}/links')
         links = spark.read.parquet(f'{tmp}/links')
-        toks = token_sets(corpus).unionByName(token_sets(shard
-                                                         .select('doc_id',
-                                                                 'text')))
+        # the operator's documented verification composition: corpus
+        # tokens only for LINKED docs (a bare token_sets(corpus) would
+        # re-tokenize the whole 1M corpus inside the 'shard-sized'
+        # wall — O(corpus), exactly the cost this soak claims to avoid)
+        linked_old = links.select(F.col('doc_b').alias('doc_id')) \
+            .distinct()
+        toks = (token_sets(corpus.join(linked_old, 'doc_id'))
+                .unionByName(token_sets(shard.select('doc_id', 'text'))))
+        toks.write.mode('overwrite').parquet(f'{tmp}/toks')
+        toks = spark.read.parquet(f'{tmp}/toks')
         verified = (jaccard_pairs(toks, links).where(F.col('is_dup'))
                     .select('doc_a', 'doc_b'))
         verified.write.mode('overwrite').parquet(f'{tmp}/verified')
@@ -111,14 +127,15 @@ def main(argv=None) -> int:
         n_links = links.count()
         n_verified = verified.count()
         fanout = links.groupBy('doc_a').agg(F.count('*').alias('k')) \
-            .agg(F.max('k').alias('mx'),
-                 F.avg('k').alias('avg')).collect()[0]
+            .agg(F.max('k').alias('mx')).collect()[0]
         planted = shard.where(F.col('twin_id') >= 0)
         n_planted = planted.count()
         hits = (planted.join(verified.select(F.col('doc_a')
                                              .alias('doc_id')).distinct(),
                              'doc_id'))
         n_recalled = hits.count()
+        recall = n_recalled / n_planted
+        from pyxml_spark.pipeline.dedup import HOT_BUCKET_THRESHOLD
         summary = {
             'corpus_rows': args.rows, 'shard_rows': args.shard,
             'cpus': args.cpus,
@@ -127,11 +144,15 @@ def main(argv=None) -> int:
             'candidate_links': n_links,
             'verified_links': n_verified,
             'max_links_per_shard_doc': fanout['mx'],
-            'avg_links_per_shard_doc': round(fanout['avg'], 2),
+            'avg_links_per_shard_doc': round(n_links / args.shard, 2),
             'planted': n_planted,
-            'planted_recall': round(n_recalled / n_planted, 4),
+            'planted_recall': round(recall, 4),
             'n_bands': N_BANDS, 'n_subbuckets': N_SUBBUCKETS,
         }
+        # the soak FAILS on regression, it doesn't just report (the
+        # 'soak rigor gaps' self-review class from round 4)
+        assert recall >= 0.99, summary
+        assert fanout['mx'] <= N_BANDS * HOT_BUCKET_THRESHOLD, summary
         out = os.path.join(REPO, 'BENCH',
                            f'INCR_DEDUP_SOAK_{args.rows}.md')
         with open(out, 'w') as f:
